@@ -1,0 +1,188 @@
+"""Configuration system.
+
+TPU-native replacement for the reference's Registry ``rconfig`` → namelist →
+``grid_config_rec_type`` machinery (``WRFV3/frame/module_configure.F``,
+``Registry/registry.partmc:1-38``).  Instead of code-generated getters we use
+one frozen (hashable) dataclass tree, so a ``Config`` can be a ``static_argnum``
+of a jitted step function and all option branches resolve at trace time —
+the XLA analogue of WRF's compile-time/namelist dispatch.
+
+Field names deliberately mirror the reference namelist options so a WRF-PartMC
+user can map their ``namelist.input`` directly (see ``from_namelist``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Tuple
+
+
+@dataclass(frozen=True)
+class DomainConfig:
+    """&domains equivalent (``test/em_uniform/namelist.input:33-48``)."""
+
+    nx: int = 40            # e_we - 1 (mass points in x)
+    ny: int = 40            # e_sn - 1
+    nz: int = 10            # e_vert - 1 (full eta levels - 1)
+    dx: float = 2000.0      # [m]
+    dy: float = 2000.0      # [m]
+    ztop: float = 10000.0   # model top height [m] (ideal cases)
+    p_top: float = 10000.0  # pressure at model top [Pa] (real-style base state)
+
+
+@dataclass(frozen=True)
+class DynamicsConfig:
+    """&dynamics equivalent (``namelist.input:72-97``)."""
+
+    dt: float = 10.0              # model timestep [s]
+    rk_order: int = 3             # Runge-Kutta order (solve_em.F:510)
+    n_sound: int = 4              # acoustic substeps per RK3 full step
+    h_adv_order: int = 5          # horizontal advection order
+    v_adv_order: int = 3          # vertical advection order
+    chem_adv_opt: str = "pd"      # positive-definite limiter (chem_adv_opt=2)
+    moist_adv_opt: str = "pd"
+    khdif: float = 0.0            # constant horizontal diffusion [m2 s-1]
+    kvdif: float = 0.0            # constant vertical diffusion [m2 s-1]
+    smag_cs: float = 0.25         # Smagorinsky constant (diff_opt=2)
+    diff_opt: int = 0             # 0=none, 1=constant K, 2=Smagorinsky 2D
+    damp_opt: int = 0             # upper-level damping (0=off)
+    zdamp: float = 5000.0         # damping-layer depth [m]
+    dampcoef: float = 0.2
+    epssm: float = 0.1            # acoustic-step forward-in-time weighting
+    smdiv: float = 0.1            # divergence damping coefficient
+    constant_velocity: bool = False  # PMC_CONSTANT_VEL: freeze dynamics
+                                     # (solve_em.F:535,1326,1548)
+
+
+@dataclass(frozen=True)
+class BoundaryConfig:
+    """&bdy_control equivalent."""
+
+    periodic_x: bool = True
+    periodic_y: bool = True
+    open_xs: bool = False
+    open_xe: bool = False
+    open_ys: bool = False
+    open_ye: bool = False
+    spec_zone: int = 1
+    relax_zone: int = 4
+
+
+@dataclass(frozen=True)
+class PartmcConfig:
+    """&partmc namelist group (``Registry/registry.partmc:1-38``)."""
+
+    num_particles: int = 128       # per-cell ideal computational particle count
+    max_particles: int = 192       # static per-cell capacity (TPU: fixed shape;
+                                   # replaces reference doubling/halving alloc)
+    n_emit_slots: int = 8          # static per-cell emission insertions per step
+    partmc_chem_dt: float = 60.0   # microphysics macro-step [s] (registry.partmc:24)
+    do_coagulation: bool = True
+    do_emission: bool = True
+    do_mosaic: bool = False        # gas/aerosol chemistry (round-1: off, as the
+                                   # reference supports; mosaic/ is private)
+    do_optical: bool = False
+    do_deposition: bool = True
+    do_transport: bool = True
+    do_gridded_output: bool = True
+    do_condensation: bool = False  # equilibrium water uptake each chem step
+    allow_doubling: bool = True    # realized as weight-halving rebalance
+    allow_halving: bool = True
+    random_seed: int = 0
+    n_coag_pairs: int = 64         # candidate coagulation pairs per cell per step
+    weight_rescale_trigger: float = 2.0  # preweight rescale when projected
+                                         # count > trigger * ideal
+                                         # (wrf_pmc_trans_aero.F90:1374-1402)
+    w_prob_cap: float = 0.95       # vertical-face move-probability cap
+                                   # (wrf_pmc_trans.F90:236-284)
+    num_bins: int = 100            # diagnostic bin grid (registry.partmc_process:1)
+    bin_d_min: float = 1e-9        # [m] bin_grid_make(...,1d-9,1d-3) diameter span
+    bin_d_max: float = 1e-3
+    seasalt_param: int = 0         # 0=off, 1=Gong-2003, 2=Ovadnevaite
+    n_ccn_supersats: int = 4       # CCN activation spectra count (driver :1043-1100)
+
+
+@dataclass(frozen=True)
+class TimeControlConfig:
+    """&time_control equivalent."""
+
+    run_seconds: float = 3600.0
+    history_interval_s: float = 600.0
+    auxhist2_interval_s: float = 600.0   # aerosol diagnostic cadence
+    restart_interval_s: float = 3600.0
+    restart: bool = False
+
+
+@dataclass(frozen=True)
+class Config:
+    domain: DomainConfig = field(default_factory=DomainConfig)
+    dynamics: DynamicsConfig = field(default_factory=DynamicsConfig)
+    boundary: BoundaryConfig = field(default_factory=BoundaryConfig)
+    partmc: PartmcConfig = field(default_factory=PartmcConfig)
+    time_control: TimeControlConfig = field(default_factory=TimeControlConfig)
+    n_moist: int = 3        # qv, qc, qr
+    n_chem_gas: int = 16    # transported gas species (77 in full MOSAIC runs)
+    n_class: int = 4        # aerosol weight classes (=NUM_CONC_a## tracer count,
+                            # up to 40 in the reference registry.partmc_trans)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def _replace_sub(cfg: Config, group: str, **kw) -> Config:
+    return dataclasses.replace(cfg, **{group: dataclasses.replace(getattr(cfg, group), **kw)})
+
+
+def uniform_test_config(**overrides) -> Config:
+    """em_uniform analogue: 40x40x10 @ 2 km, dt=10 s, periodic, transport-only
+    (``test/em_uniform/namelist.input``). Sized down by default for tests."""
+    cfg = Config(
+        domain=DomainConfig(nx=40, ny=40, nz=10, dx=2000.0, dy=2000.0),
+        dynamics=DynamicsConfig(dt=10.0, constant_velocity=True),
+        boundary=BoundaryConfig(periodic_x=True, periodic_y=True),
+        partmc=PartmcConfig(do_coagulation=False, do_emission=False,
+                            do_deposition=False, do_mosaic=False),
+    )
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+def namelist_to_config(groups: dict) -> Config:
+    """Minimal namelist-compatibility shim: accepts a dict of namelist groups
+    (as parsed from a WRF ``namelist.input``) and maps the options the
+    reference build consumes onto a :class:`Config`."""
+    cfg = Config()
+    dom = groups.get("domains", {})
+    if dom:
+        cfg = dataclasses.replace(cfg, domain=DomainConfig(
+            nx=int(dom.get("e_we", 41)) - 1,
+            ny=int(dom.get("e_sn", 41)) - 1,
+            nz=int(dom.get("e_vert", 11)) - 1,
+            dx=float(dom.get("dx", 2000.0)),
+            dy=float(dom.get("dy", 2000.0)),
+            ztop=float(dom.get("ztop", 10000.0)),
+        ))
+    dyn = groups.get("dynamics", {})
+    if dyn:
+        cfg = _replace_sub(cfg, "dynamics",
+                           h_adv_order=int(dyn.get("h_sca_adv_order", 5)),
+                           v_adv_order=int(dyn.get("v_sca_adv_order", 3)),
+                           khdif=float(dyn.get("khdif", 0.0)),
+                           kvdif=float(dyn.get("kvdif", 0.0)),
+                           diff_opt=int(dyn.get("diff_opt", 0)))
+    tc = groups.get("time_control", {})
+    if tc:
+        cfg = _replace_sub(cfg, "time_control",
+                           history_interval_s=60.0 * float(tc.get("history_interval", 10)),
+                           restart=bool(tc.get("restart", False)))
+    pmc = groups.get("partmc", {})
+    if pmc:
+        keep = {k: v for k, v in pmc.items()
+                if k in {f.name for f in dataclasses.fields(PartmcConfig)}}
+        cfg = _replace_sub(cfg, "partmc", **keep)
+    bdy = groups.get("bdy_control", {})
+    if bdy:
+        cfg = _replace_sub(cfg, "boundary",
+                           periodic_x=bool(bdy.get("periodic_x", True)),
+                           periodic_y=bool(bdy.get("periodic_y", True)))
+    return cfg
