@@ -71,10 +71,11 @@ def test_brownian_kernel_magnitude_and_symmetry():
     d = jnp.asarray([1e-6, 1e-6, 1e-8, 1e-8])
     rho = 1800.0
     m = rho * jnp.pi / 6 * d ** 3
-    k11 = float(coag.brownian_kernel(d[0], d[1], m[0], m[1], ENV))
-    k33 = float(coag.brownian_kernel(d[2], d[3], m[2], m[3], ENV))
-    k13 = float(coag.brownian_kernel(d[0], d[2], m[0], m[2], ENV))
-    k31 = float(coag.brownian_kernel(d[2], d[0], m[2], m[0], ENV))
+    kfn = lambda a, b, ma, mb: float(jnp.squeeze(coag.brownian_kernel(a, b, ma, mb, ENV)))
+    k11 = kfn(d[0], d[1], m[0], m[1])
+    k33 = kfn(d[2], d[3], m[2], m[3])
+    k13 = kfn(d[0], d[2], m[0], m[2])
+    k31 = kfn(d[2], d[0], m[2], m[0])
     # continuum limit for equal 1 um particles: 8kT/(3 mu) ~ 6e-16 m3/s
     assert 3e-16 < k11 < 1.2e-15, k11
     # dissimilar sizes strongly enhanced

@@ -1,0 +1,168 @@
+"""Stochastic particle transport vs Eulerian ground truth — the em_uniform /
+em_rotational verification strategy (SURVEY 4.1): the same run advects the
+NUM_CONC tracer field Eulerian-ly, and the particle field must track it."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wrf_partmc_tpu.config import DomainConfig, PartmcConfig, uniform_test_config
+from wrf_partmc_tpu.grid import make_grid
+from wrf_partmc_tpu.models.coupled.driver import (
+    CoupledState, coupled_step, init_coupled, run_coupled)
+from wrf_partmc_tpu.models.coupled.init import populate_from_number_field
+from wrf_partmc_tpu.models.coupled.transport import (
+    rebucket, transport_step, vertical_operator)
+from wrf_partmc_tpu.models.dycore.ideal import init_rotational, init_uniform
+from wrf_partmc_tpu.models.dycore.state import base_profiles
+from wrf_partmc_tpu.models.partmc.aero_data import make_aero_data
+from wrf_partmc_tpu.models.partmc.gas_data import make_gas_data
+from wrf_partmc_tpu.models.partmc.scenario import constant_scenario
+from wrf_partmc_tpu.models.partmc.dist import make_mode
+from wrf_partmc_tpu.utils import rng
+
+AD = make_aero_data()
+GD = make_gas_data()
+
+
+def _cfg(nx=16, ny=16, nz=4, n_part=32, cap=96, ztop=10000.0):
+    cfg = uniform_test_config()
+    return cfg.replace(
+        domain=DomainConfig(nx=nx, ny=ny, nz=nz, dx=2000.0, dy=2000.0, ztop=ztop),
+        partmc=PartmcConfig(num_particles=n_part, max_particles=cap,
+                            do_coagulation=False, do_emission=False,
+                            do_deposition=False, do_transport=True),
+    )
+
+
+def _scn():
+    vf = np.zeros(AD.n_spec)
+    vf[0] = 1.0
+    return constant_scenario(AD, GD.n_spec, make_mode(0.0, 1e-7, 1.6, vf))
+
+
+def _particle_conc(cs, grid):
+    """[nz, ny, nx] number conc from the particle field."""
+    V = grid.cell_volume.reshape(-1, 1, 1)
+    return np.asarray(cs.aero.total_num() / V)
+
+
+def _tracer_conc(cs, grid):
+    rho_b, _, _ = base_profiles(grid)
+    air = (grid.cell_volume * rho_b).reshape(-1, 1, 1)
+    return np.asarray(cs.dyn.num_conc[0] * air / grid.cell_volume.reshape(-1, 1, 1))
+
+
+def test_uniform_particles_track_eulerian_tracer():
+    cfg = _cfg()
+    grid = make_grid(cfg)
+    dyn = init_uniform(cfg, grid, u0=10.0, v0=5.0, blob_conc=1e9)
+    cs = init_coupled(cfg, grid, AD, GD, dyn)
+    aero = populate_from_number_field(AD, cfg, grid, dyn.num_conc[0],
+                                      jax.random.key(0))
+    cs = dataclasses.replace(cs, aero=aero)
+    n0_tot = float(cs.aero.total_num().sum())
+
+    exch = jnp.zeros((grid.nz + 1, grid.ny, grid.nx), jnp.float32)
+    scn = _scn()
+    out = jax.jit(lambda c: run_coupled(c, grid, cfg, AD, GD, scn, exch, 30))(cs)
+
+    pc = _particle_conc(out, grid)
+    tc = _tracer_conc(out, grid)
+    # total number conserved through transport + rebalance
+    np.testing.assert_allclose(float(out.aero.total_num().sum()), n0_tot, rtol=2e-2)
+    # particle field tracks the Eulerian solution
+    corr = np.corrcoef(pc.ravel(), tc.ravel())[0, 1]
+    assert corr > 0.9, corr
+    # blob moved: center of mass of particle field near Eulerian one
+    com = lambda f: np.array([ (f.sum(axis=(0, 1)) * np.arange(f.shape[2])).sum(),
+                               (f.sum(axis=(0, 2)) * np.arange(f.shape[1])).sum() ]) / f.sum()
+    np.testing.assert_allclose(com(pc), com(tc), atol=0.6)
+
+
+def test_rotational_particles_track_cone():
+    cfg = _cfg(nx=24, ny=24, nz=2, n_part=48, cap=144)
+    grid = make_grid(cfg)
+    n_rev = 60
+    dyn = init_rotational(cfg, grid, period_s=n_rev * cfg.dynamics.dt, blob_conc=1e9)
+    cs = init_coupled(cfg, grid, AD, GD, dyn)
+    aero = populate_from_number_field(AD, cfg, grid, dyn.num_conc[0],
+                                      jax.random.key(1))
+    cs = dataclasses.replace(cs, aero=aero)
+    exch = jnp.zeros((grid.nz + 1, grid.ny, grid.nx), jnp.float32)
+    out = jax.jit(lambda c: run_coupled(c, grid, cfg, AD, GD, _scn(), exch,
+                                        n_rev // 2))(cs)
+    pc = _particle_conc(out, grid)
+    tc = _tracer_conc(out, grid)
+    corr = np.corrcoef(pc.ravel(), tc.ravel())[0, 1]
+    assert corr > 0.85, corr
+
+
+def test_vertical_operator_row_stochastic_and_mixing():
+    cfg = _cfg(nz=6)
+    grid = make_grid(cfg)
+    n_class = cfg.n_class
+    zshape = (n_class, grid.nz, grid.ny, grid.nx)
+    from wrf_partmc_tpu.ops.advection import OutflowProbs
+    zeros = jnp.zeros(zshape, jnp.float32)
+    probs = OutflowProbs(xm=zeros, xp=zeros, ym=zeros, yp=zeros,
+                         zm=zeros, zp=zeros)
+    exch = jnp.full((grid.nz + 1, grid.ny, grid.nx), 500.0, jnp.float32)
+    R = vertical_operator(probs, None, exch, grid, cfg, dt=600.0)
+    Rn = np.asarray(R)
+    np.testing.assert_allclose(Rn.sum(axis=-1), 1.0, atol=1e-5)
+    assert Rn.min() >= 0.0
+    # with strong mixing, off-diagonal mass appears
+    off = Rn[0, 0, 0] - np.diag(np.diag(Rn[0, 0, 0]))
+    assert off.sum() > 0.05
+
+
+def test_vertical_mixing_spreads_particles():
+    cfg = _cfg(nx=8, ny=8, nz=6, n_part=64, cap=192, ztop=1200.0)
+    cfg = cfg.replace(partmc=dataclasses.replace(cfg.partmc, do_transport=True))
+    grid = make_grid(cfg)
+    # all particles initially in the surface layer
+    conc = jnp.zeros((grid.nz, grid.ny, grid.nx)).at[0].set(1e9)
+    aero = populate_from_number_field(AD, cfg, grid, conc, jax.random.key(2))
+    from wrf_partmc_tpu.models.dycore.state import zero_dycore_state
+    dyn = zero_dycore_state(cfg, grid)
+    cs = CoupledState(dyn=dyn, aero=aero,
+                      gas=jnp.zeros((grid.nz, grid.ny, grid.nx, GD.n_spec)),
+                      step=jnp.asarray(0, jnp.int32))
+    exch = jnp.full((grid.nz + 1, grid.ny, grid.nx), 100.0, jnp.float32)
+    out = jax.jit(lambda c: run_coupled(c, grid, cfg, AD, GD, _scn(), exch, 20))(cs)
+    prof0 = np.asarray(aero.total_num().sum(axis=(1, 2)))
+    proff = np.asarray(out.aero.total_num().sum(axis=(1, 2)))
+    np.testing.assert_allclose(proff.sum(), prof0.sum(), rtol=2e-2)
+    # mass moved upward out of the surface layer
+    assert proff[0] < 0.85 * prof0[0]
+    assert proff[1:].sum() > 0.1 * prof0.sum()
+    # mean height increased
+    z = np.asarray(grid.z_half)
+    assert (proff * z).sum() / proff.sum() > (prof0 * z).sum() / prof0.sum()
+
+
+def test_rebucket_conserves_and_places():
+    cfg = _cfg(nx=4, ny=4, nz=2, n_part=8, cap=16)
+    grid = make_grid(cfg)
+    conc = jnp.full((grid.nz, grid.ny, grid.nx), 1e8)
+    aero = populate_from_number_field(AD, cfg, grid, conc, jax.random.key(3))
+    # move everything one cell +x
+    kk = jax.lax.broadcasted_iota(jnp.int32, aero.num.shape, 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, aero.num.shape, 1)
+    ii = (jax.lax.broadcasted_iota(jnp.int32, aero.num.shape, 2) + 1) % grid.nx
+    out = rebucket(aero, kk, jj, ii, grid)
+    np.testing.assert_allclose(float(out.total_num().sum()),
+                               float(aero.total_num().sum()), rtol=1e-5)
+    # per-cell totals unchanged (uniform field shifted periodically)
+    np.testing.assert_allclose(np.asarray(out.total_num()),
+                               np.asarray(aero.total_num()), rtol=1e-4)
+    # overflow case: send everything to cell (0,0,0)
+    z = jnp.zeros_like(kk)
+    out2 = rebucket(aero, z, z, z, grid)
+    assert int(out2.n_alive()[0, 0, 0]) == aero.capacity
+    assert float(out2.n_alive().sum()) == aero.capacity  # all elsewhere empty
+    np.testing.assert_allclose(float(out2.total_num().sum()),
+                               float(aero.total_num().sum()), rtol=1e-4)

@@ -122,7 +122,8 @@ class Config:
     partmc: PartmcConfig = field(default_factory=PartmcConfig)
     time_control: TimeControlConfig = field(default_factory=TimeControlConfig)
     n_moist: int = 3        # qv, qc, qr
-    n_chem_gas: int = 16    # transported gas species (77 in full MOSAIC runs)
+    n_chem_gas: int = 32    # transported gas species — must match the GasData
+                            # table (77 in full CBM-Z/MOSAIC runs)
     n_class: int = 4        # aerosol weight classes (=NUM_CONC_a## tracer count,
                             # up to 40 in the reference registry.partmc_trans)
 

@@ -1,0 +1,193 @@
+"""The coupled WRF-PartMC timestep.
+
+TPU-native equivalent of the master loop hooks in
+``frame/module_integrate.F:373-424`` and their targets:
+
+  partmc_to_wrf -> solve_em -> partmc_from_wrf -> partmc_timestep
+  -> wrf_pmc_trans_driver (+ dry deposition at the surface layer)
+
+(call stack quoted in SURVEY 3.2).  One ``coupled_step`` is a single jittable
+function of (CoupledState, step_key); the host loop only handles I/O alarms.
+
+Unit conventions at the coupling surface (matching the reference):
+  * chem gas tracers carry ppm; gas states carry ppb (x/1000 conversions at
+    ``wrf_pmc_driver.F90:1663,1726``).
+  * NUM_CONC class tracers carry number per kg of dry air (the reference's
+    N x weight x alt coupling, ``:1710-1716``); particle populations carry
+    absolute represented number per cell.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ...config import Config
+from ...grid import Grid
+from ...utils import rng
+from ..dycore.solve import StepDiag, solve_step
+from ..dycore.state import DycoreState, base_profiles, temperature, total_pressure
+from ..partmc.aero_data import AeroData
+from ..partmc.aero_state import AeroState, rebalance, zero_state
+from ..partmc.coag import KERNEL_BROWN, coag_step
+from ..partmc.condense import equilib_water
+from ..partmc.deposition import aerodynamic_resistance, deposition_velocity
+from ..partmc.env_state import EnvState
+from ..partmc.gas_data import GasData
+from ..partmc.scenario import Scenario, update_aero_state, update_gas_state
+from ..physics.thermo import relative_humidity
+from .transport import transport_step
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class CoupledState:
+    dyn: DycoreState
+    aero: AeroState          # cell shape (nz, ny, nx)
+    gas: jax.Array           # [nz, ny, nx, G] ppb
+    step: jax.Array          # scalar int32
+
+
+def make_env(dyn: DycoreState, grid: Grid, cfg: Config, step,
+             ustar=0.3) -> EnvState:
+    """wrf_to_partmc: per-cell environment from the dycore state
+    (``wrf_pmc_driver.F90:576-644``)."""
+    temp = temperature(dyn, grid)
+    pres = total_pressure(dyn, grid)
+    rh = relative_humidity(dyn.moist[0], temp, pres)
+    vol = jnp.broadcast_to(grid.cell_volume.reshape(-1, 1, 1),
+                           temp.shape).astype(jnp.float32)
+    z = jnp.broadcast_to(grid.z_half.reshape(-1, 1, 1), temp.shape)
+    return EnvState(temp=temp, pressure=pres, rel_humid=rh, height=z,
+                    cell_volume=vol,
+                    ustar=jnp.full(temp.shape, ustar, jnp.float32),
+                    elapsed_time=jnp.asarray(step, jnp.float32) * cfg.dynamics.dt)
+
+
+def partmc_to_wrf(cs: CoupledState, grid: Grid, cfg: Config) -> DycoreState:
+    """Copy particle number (per class) and gases into the Eulerian tracers
+    (``partmc_to_wrf``, ``wrf_pmc_driver.F90:1663-1716``)."""
+    rho_b, _, _ = base_profiles(grid)
+    air_mass = (grid.cell_volume * rho_b).reshape(-1, 1, 1)       # [nz,1,1] kg
+    nbc = cs.aero.num_by_class(cfg.n_class)                       # [nz,ny,nx,C]
+    num_tr = jnp.moveaxis(nbc, -1, 0) / air_mass                  # [C,nz,ny,nx] #/kg
+    chem = jnp.moveaxis(cs.gas, -1, 0) / 1000.0                   # ppb -> ppm
+    return dataclasses.replace(cs.dyn, num_conc=num_tr.astype(jnp.float32),
+                               chem=chem.astype(jnp.float32))
+
+
+def partmc_from_wrf(dyn: DycoreState) -> jax.Array:
+    """Advected gases back to the particle model (``:1726``), ppm -> ppb."""
+    return jnp.moveaxis(dyn.chem, 0, -1) * 1000.0
+
+
+def microphysics_step(aero: AeroState, gas, env: EnvState, aero_data: AeroData,
+                      scn: Scenario, cfg: Config, t, key) -> tuple[AeroState, jax.Array]:
+    """partmc_timestep inner work (coag + emissions + optional water) over
+    one chem macro-step (``wrf_pmc_driver.F90:169-254``)."""
+    pc = cfg.partmc
+    dt_chem = pc.partmc_chem_dt
+    k_coag, k_scn = jax.random.split(key)
+    if pc.do_coagulation:
+        aero = coag_step(aero, aero_data, env, dt_chem, k_coag, kernel=KERNEL_BROWN)
+    gas = update_gas_state(scn, gas, t, dt_chem)
+    if pc.do_emission:
+        aero = update_aero_state(scn, aero, aero_data, t, dt_chem, k_scn,
+                                 pc.n_emit_slots, env.cell_volume)
+    if pc.do_condensation:
+        aero = equilib_water(aero, aero_data, env)
+    return aero, gas
+
+
+def surface_deposition(aero: AeroState, env: EnvState, aero_data: AeroData,
+                       grid: Grid, cfg: Config, key) -> AeroState:
+    """Dry deposition from the lowest model layer only, stochastic
+    per-particle removal (``wrf_pmc_trans.F90:183-198`` -> wrf_pmc_dep*)."""
+    from ..partmc.aero_data import particle_mass, particle_volume
+
+    diam = jnp.maximum(aero.wet_diameter(), 1e-9)
+    pvol = particle_volume(aero.vol)
+    mass = particle_mass(aero.vol, aero_data)
+    rho_p = mass / jnp.maximum(pvol, 1e-300)
+    z_ref = grid.z_half[0]
+    r_a = aerodynamic_resistance(env, z_ref)
+    v_d = deposition_velocity(diam, rho_p, env, r_a)
+    p_rem = jnp.clip(v_d * cfg.dynamics.dt / grid.dz[0], 0.0, 1.0)
+    k0 = jax.lax.broadcasted_iota(jnp.int32, aero.num.shape, 0) == 0
+    p_rem = jnp.where(k0, p_rem, 0.0)
+    u = jax.random.uniform(key, aero.num.shape)
+    keep = (u >= p_rem) & aero.alive
+    return dataclasses.replace(
+        aero, num=jnp.where(keep, aero.num, 0.0),
+        vol=jnp.where(keep[..., None, :], aero.vol, 0.0))
+
+
+def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
+                 aero_data: AeroData, gas_data: GasData, scn: Scenario,
+                 exch_h, base_seed_key) -> CoupledState:
+    """One full coupled timestep (one iteration of integrate's while loop)."""
+    pc = cfg.partmc
+    dt = cfg.dynamics.dt
+    m_chem = max(1, int(round(pc.partmc_chem_dt / dt)))
+    keys = {s: rng.step_key(base_seed_key, cs.step, s)
+            for s in (rng.STREAM_COAG, rng.STREAM_TRANSPORT,
+                      rng.STREAM_DEPOSITION, rng.STREAM_REBALANCE)}
+
+    # partmc_to_wrf + dynamics/advection
+    dyn = partmc_to_wrf(cs, grid, cfg)
+    dyn2, diag = solve_step(dyn, grid, cfg)
+    gas = partmc_from_wrf(dyn2)
+
+    env = make_env(dyn2, grid, cfg, cs.step)
+    aero = cs.aero
+
+    # microphysics on the chem_dt cadence
+    t = cs.step.astype(jnp.float32) * dt
+    if pc.do_coagulation or pc.do_emission or pc.do_condensation:
+        do_chem = (cs.step % m_chem) == 0
+
+        def micro(args):
+            a, g = args
+            return microphysics_step(a, g, env, aero_data, scn, cfg, t,
+                                     keys[rng.STREAM_COAG])
+
+        aero, gas = lax.cond(do_chem, micro, lambda ag: ag, (aero, gas))
+
+    # stochastic transport (+ deposition at the surface layer)
+    if pc.do_transport:
+        aero = transport_step(aero, diag.probs, diag.xkhh, exch_h, grid, cfg,
+                              dt, keys[rng.STREAM_TRANSPORT])
+    if pc.do_deposition:
+        aero = surface_deposition(aero, env, aero_data, grid, cfg,
+                                  keys[rng.STREAM_DEPOSITION])
+
+    aero = rebalance(aero, keys[rng.STREAM_REBALANCE], pc.num_particles,
+                     pc.allow_halving, pc.allow_doubling)
+
+    return CoupledState(dyn=dyn2, aero=aero, gas=gas, step=cs.step + 1)
+
+
+def init_coupled(cfg: Config, grid: Grid, aero_data: AeroData,
+                 gas_data: GasData, dyn: DycoreState) -> CoupledState:
+    aero = zero_state(aero_data, cfg.partmc.max_particles,
+                      cell_shape=(grid.nz, grid.ny, grid.nx))
+    gas = jnp.zeros((grid.nz, grid.ny, grid.nx, gas_data.n_spec), jnp.float32)
+    return CoupledState(dyn=dyn, aero=aero, gas=gas,
+                        step=jnp.asarray(0, jnp.int32))
+
+
+def run_coupled(cs: CoupledState, grid: Grid, cfg: Config,
+                aero_data: AeroData, gas_data: GasData, scn: Scenario,
+                exch_h, n_steps: int, seed: int = 0) -> CoupledState:
+    key = rng.base_key(seed)
+
+    def body(c, _):
+        return coupled_step(c, grid, cfg, aero_data, gas_data, scn, exch_h,
+                            key), None
+
+    out, _ = lax.scan(body, cs, None, length=n_steps)
+    return out

@@ -49,10 +49,11 @@ def brownian_kernel(d1, d2, m1, m2, env: EnvState):
     """Fuchs-form Brownian coagulation kernel [m3 s-1]
     (Seinfeld & Pandis 2006, Table 13.1; PartMC coag_kernel_brown).
 
-    d: wet diameters [m]; m: particle masses [kg]; broadcastable shapes.
+    d: wet diameters [m]; m: particle masses [kg]; shapes [cells..., n] with
+    env fields [cells...] (a trailing particle axis is added to env values).
     """
-    temp = env.temp
-    mfp = env.air_mean_free_path
+    temp = jnp.asarray(env.temp)[..., None]
+    mfp = jnp.asarray(env.air_mean_free_path)[..., None]
     kT = c.BOLTZMANN * temp
 
     def props(d, m):
@@ -77,7 +78,7 @@ def sedi_kernel(d1, d2, m1, m2, env: EnvState):
     """Gravitational collection kernel with unit efficiency."""
     def v_term(d, m):
         rho_p = m / jnp.maximum((jnp.pi / 6.0) * d ** 3, 1e-300)
-        cc = cunningham_slip(d, env.air_mean_free_path)
+        cc = cunningham_slip(d, jnp.asarray(env.air_mean_free_path)[..., None])
         return rho_p * d * d * c.GRAV * cc / (18.0 * c.AIR_DYN_VISC)
     area = (jnp.pi / 4.0) * (d1 + d2) ** 2
     return area * jnp.abs(v_term(d1, m1) - v_term(d2, m2))

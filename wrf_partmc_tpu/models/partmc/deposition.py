@@ -29,8 +29,10 @@ _EB_EXP = 2.0 / 3.0    # Brownian efficiency exponent
 
 
 def settling_velocity(diam, rho_p, env: EnvState):
-    """Stokes settling velocity with slip correction [m s-1]."""
-    cc = cunningham_slip(diam, env.air_mean_free_path)
+    """Stokes settling velocity with slip correction [m s-1].
+    diam/rho_p: [cells..., P]; env fields [cells...]."""
+    mfp = jnp.asarray(env.air_mean_free_path)[..., None]
+    cc = cunningham_slip(diam, mfp)
     return rho_p * diam ** 2 * c.GRAV * cc / (18.0 * c.AIR_DYN_VISC)
 
 
@@ -39,7 +41,7 @@ def deposition_velocity(diam, rho_p, env: EnvState, r_a):
     temp = jnp.asarray(env.temp)[..., None]
     ustar = jnp.asarray(env.ustar)[..., None]
     v_s = settling_velocity(diam, rho_p, env)
-    cc = cunningham_slip(diam, env.air_mean_free_path)
+    cc = cunningham_slip(diam, jnp.asarray(env.air_mean_free_path)[..., None])
     diff = c.BOLTZMANN * temp * cc / (3.0 * jnp.pi * c.AIR_DYN_VISC * diam)
     nu = c.AIR_DYN_VISC / jnp.asarray(env.air_density)[..., None]
     sc = nu / diff                                   # Schmidt number

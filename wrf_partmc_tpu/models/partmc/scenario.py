@@ -102,7 +102,7 @@ def update_aero_state(scn: Scenario, state: AeroState, aero_data: AeroData,
             key, dist, aero_data, n_emit_slots, 1.0, cell_shape)
         tot = dist_number_conc(dist)  # sample_particles total (volume=1)
         scale = jnp.asarray(added_number / jnp.maximum(tot, 1e-300), jnp.float32)
-        num = num * scale
+        num = num * scale[..., None]
         return add_particles(state, vol, num, src, wcl, time=t)
 
     # (2) background in-mixing: diluted-in number = back_conc * p_out * V
