@@ -1,0 +1,148 @@
+"""Top-level model runner — the ``wrf.exe`` equivalent.
+
+Mirrors ``main/wrf.F`` / ``main/module_wrf_top.F:429`` (wrf_init -> wrf_run)
+and the alarm-driven host loop of ``frame/module_integrate.F``: the device
+executes jitted coupled steps in chunks; the host only handles clock alarms
+(history / auxhist2 aerosol diagnostics / restart — SURVEY 5.4-5.5), section
+timers and the memory tracker.
+
+Usage:
+    python -m wrf_partmc_tpu.run --namelist namelist.input --case uniform \
+        --outdir out/
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Config, namelist_to_config, uniform_test_config
+from .grid import make_grid
+from .models.coupled.driver import (CoupledState, coupled_step, init_coupled,
+                                    make_env)
+from .models.coupled.init import populate_from_dist, populate_from_number_field
+from .models.dycore.ideal import (init_rotational, init_scm, init_uniform,
+                                  init_warm_bubble)
+from .models.partmc.aero_data import make_aero_data
+from .models.partmc.bin_grid import make_bin_grid
+from .models.partmc.diagnostics import process
+from .models.partmc.dist import make_mode
+from .models.partmc.gas_data import make_gas_data
+from .models.partmc.scenario import constant_scenario
+from .models.physics.pbl import k_profile_exch_h
+from .utils import rng
+from .utils.clock import Clock
+from .utils.io import write_history, write_particle_netcdf, write_restart, read_restart
+from .utils.namelist import load_namelist
+from .utils.timing import SectionTimers, memtrack_mb
+
+CASES = {
+    "uniform": init_uniform,
+    "rotational": init_rotational,
+    "warm_bubble": init_warm_bubble,
+    "scm": init_scm,
+}
+
+
+def build_model(cfg: Config, case: str = "uniform", seed: int = 0):
+    grid = make_grid(cfg)
+    ad = make_aero_data()
+    gd = make_gas_data()
+    vf = np.zeros(ad.n_spec)
+    vf[ad.spec_by_name("SO4")] = 1.0
+    scn = constant_scenario(ad, gd.n_spec, make_mode(0.0, 1e-7, 1.6, vf))
+    dyn = CASES[case](cfg, grid)
+    cs = init_coupled(cfg, grid, ad, gd, dyn)
+    if case in ("uniform", "rotational"):
+        aero = populate_from_number_field(ad, cfg, grid, dyn.num_conc[0],
+                                          rng.base_key(seed))
+    else:
+        ic = make_mode(1e9, 1e-7, 1.6, vf)
+        aero = populate_from_dist(ad, cfg, grid, ic, rng.base_key(seed))
+    cs = dataclasses.replace(cs, aero=aero)
+    exch = k_profile_exch_h(grid, 0.4, 800.0)
+    return grid, ad, gd, scn, cs, exch
+
+
+def run(cfg: Config, case: str, outdir: str, seed: int = 0,
+        restart_path: str | None = None, verbose: bool = True):
+    os.makedirs(outdir, exist_ok=True)
+    grid, ad, gd, scn, cs, exch = build_model(cfg, case, seed)
+    if restart_path:   # do_restart=.true. path: exact particle+field state
+        cs = read_restart(restart_path, cs)
+    key = rng.base_key(cfg.partmc.random_seed or seed)
+    bg = make_bin_grid(cfg.partmc.num_bins, cfg.partmc.bin_d_min,
+                       cfg.partmc.bin_d_max)
+
+    tc = cfg.time_control
+    clock = Clock(dt=cfg.dynamics.dt, t_stop=tc.run_seconds,
+                  step=int(cs.step))
+    clock.add_alarm("history", tc.history_interval_s)
+    clock.add_alarm("auxhist2", tc.auxhist2_interval_s)
+    clock.add_alarm("restart", tc.restart_interval_s)
+    timers = SectionTimers()
+
+    step1 = jax.jit(lambda c: coupled_step(c, grid, cfg, ad, gd, scn, exch, key))
+
+    n_hist = 0
+    while not clock.done():
+        if clock.ringing("auxhist2"):
+            with timers.section("partmc_process"):
+                env = make_env(cs.dyn, grid, cfg, cs.step)
+                diag = jax.jit(lambda a: process(a, ad, env, bg))(cs.aero)
+        else:
+            diag = None
+        if clock.ringing("history"):
+            with timers.section("history_write"):
+                write_history(os.path.join(outdir, f"wrfout_{clock.step:06d}.nc"),
+                              cs, grid, cfg, diag)
+                write_particle_netcdf(
+                    os.path.join(outdir, f"partmc_{clock.step:06d}.nc"),
+                    cs, ad, grid)
+                n_hist += 1
+        if clock.step > 0 and clock.ringing("restart"):
+            with timers.section("restart_write"):
+                write_restart(os.path.join(outdir, f"restart_{clock.step:06d}.npz"), cs)
+        with timers.section("coupled_step"):
+            cs = jax.block_until_ready(step1(cs))
+        clock.advance()
+        if verbose and clock.step % 50 == 0:
+            print(f"step {clock.step}  t={clock.t:.0f}s  maxrss={memtrack_mb():.0f} MB")
+
+    write_restart(os.path.join(outdir, "restart_final.npz"), cs)
+    if verbose:
+        print("Timing summary:")
+        print(timers.report())
+    return cs, timers
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--namelist", help="WRF-style namelist.input")
+    ap.add_argument("--case", default="uniform", choices=sorted(CASES))
+    ap.add_argument("--outdir", default="wrfout")
+    ap.add_argument("--steps", type=int, help="override run length in steps")
+    ap.add_argument("--restart", help="restart npz to resume from")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    if args.namelist:
+        cfg = namelist_to_config(load_namelist(args.namelist))
+    else:
+        cfg = uniform_test_config()
+    if args.steps:
+        cfg = cfg.replace(time_control=dataclasses.replace(
+            cfg.time_control, run_seconds=args.steps * cfg.dynamics.dt))
+    cs, _ = run(cfg, args.case, args.outdir, args.seed, args.restart)
+    print(json.dumps({"steps": int(cs.step),
+                      "total_particles": float(cs.aero.total_num().sum())}))
+
+
+if __name__ == "__main__":
+    main()
