@@ -109,10 +109,23 @@ def main():
     gp = dyc_dims[0] * dyc_dims[1] * dyc_dims[2]
     gps = gp * n_dyc / t_d
 
-    # --- coupled em_uniform problem ---
+    # --- coupled em_uniform problem (falls back down the reference's
+    # particle-count sweep {1000, 500, 200, 100} if HBM is short) ---
     nx, ny, nz, n_part, cap = cpl_dims
-    run_c, st_c = _build_coupled(nx, ny, nz, n_part, cap)
-    t_c, out_c = _time_run(run_c, st_c, n_cpl)
+    last_err = None
+    for n_try in (n_part, n_part // 2, n_part // 5, n_part // 10):
+        try:
+            run_c, st_c = _build_coupled(nx, ny, nz, max(n_try, 8),
+                                         max(int(cap * n_try / n_part), 16))
+            t_c, out_c = _time_run(run_c, st_c, n_cpl)
+            n_part = max(n_try, 8)
+            break
+        except Exception as e:  # RESOURCE_EXHAUSTED on small-HBM chips
+            last_err = e
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+    else:
+        raise last_err
     cells = nx * ny * nz
     cell_steps = cells * n_cpl / t_c
     parts = float(jnp.sum(out_c.aero.n_alive()))
@@ -131,6 +144,7 @@ def main():
             "device": str(dev),
             "dycore_steps_per_s": round(n_dyc / t_d, 3),
             "coupled_em_uniform_cell_steps_per_s": round(cell_steps, 1),
+            "coupled_num_particles_per_cell": n_part,
             "coupled_em_uniform_steps_per_s": round(n_cpl / t_c, 3),
             "particle_steps_per_s": round(part_steps, 1),
             "coag_pair_evals_per_s": round(coag_pairs, 1),

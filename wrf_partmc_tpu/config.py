@@ -87,6 +87,8 @@ class PartmcConfig:
     do_transport: bool = True
     do_gridded_output: bool = True
     do_condensation: bool = False  # equilibrium water uptake each chem step
+    do_nucleation: bool = False    # H2SO4 nucleation (present-but-disabled in
+                                   # the reference, wrf_pmc_driver.F90:175)
     allow_doubling: bool = True    # realized as weight-halving rebalance
     allow_halving: bool = True
     random_seed: int = 0

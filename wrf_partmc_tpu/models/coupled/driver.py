@@ -86,18 +86,43 @@ def partmc_from_wrf(dyn: DycoreState) -> jax.Array:
 
 
 def microphysics_step(aero: AeroState, gas, env: EnvState, aero_data: AeroData,
-                      scn: Scenario, cfg: Config, t, key) -> tuple[AeroState, jax.Array]:
-    """partmc_timestep inner work (coag + emissions + optional water) over
-    one chem macro-step (``wrf_pmc_driver.F90:169-254``)."""
+                      gas_data: GasData, scn: Scenario, cfg: Config,
+                      grid: Grid, dyn: DycoreState, t,
+                      key) -> tuple[AeroState, jax.Array]:
+    """partmc_timestep inner work over one chem macro-step
+    (``wrf_pmc_driver.F90:169-254``): nucleation (optional), coagulation,
+    gas+aero emissions/dilution, sea-salt surface source, equilibrium water."""
     pc = cfg.partmc
     dt_chem = pc.partmc_chem_dt
-    k_coag, k_scn = jax.random.split(key)
+    k_coag, k_scn, k_ss = jax.random.split(key, 3)
+    if pc.do_nucleation:
+        from ..partmc.nucleate import nucleate_step
+
+        aero, gas = nucleate_step(aero, gas, gas_data, aero_data, env.temp,
+                                  env.pressure, env.cell_volume, dt_chem)
     if pc.do_coagulation:
         aero = coag_step(aero, aero_data, env, dt_chem, k_coag, kernel=KERNEL_BROWN)
     gas = update_gas_state(scn, gas, t, dt_chem)
     if pc.do_emission:
         aero = update_aero_state(scn, aero, aero_data, t, dt_chem, k_scn,
                                  pc.n_emit_slots, env.cell_volume)
+    if pc.seasalt_param > 0:
+        from ...ops.stencil import AXIS_X, AXIS_Y, shift
+        from ..partmc.aero_state import add_particles
+        from ..partmc.seasalt import sample_seasalt
+
+        u_c = 0.5 * (dyn.u[0] + shift(dyn.u[0], 1, AXIS_X))
+        v_c = 0.5 * (dyn.v[0] + shift(dyn.v[0], 1, AXIS_Y))
+        u10 = jnp.sqrt(u_c ** 2 + v_c ** 2)                     # [ny, nx]
+        cell_shape = aero.cell_shape
+        u10_3d = jnp.broadcast_to(u10, cell_shape)
+        vol, num, src, wcl = sample_seasalt(
+            k_ss, aero_data, u10_3d, grid.dx * grid.dy, dt_chem,
+            pc.n_emit_slots, cell_shape, param=pc.seasalt_param,
+            source=0, w_class=min(cfg.n_class - 1, 1))
+        k0 = jax.lax.broadcasted_iota(jnp.int32, num.shape, 0) == 0
+        aero = add_particles(aero, vol, jnp.where(k0, num, 0.0), src, wcl,
+                             time=t)
     if pc.do_condensation:
         aero = equilib_water(aero, aero_data, env)
     return aero, gas
@@ -147,12 +172,14 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
 
     # microphysics on the chem_dt cadence
     t = cs.step.astype(jnp.float32) * dt
-    if pc.do_coagulation or pc.do_emission or pc.do_condensation:
+    if (pc.do_coagulation or pc.do_emission or pc.do_condensation
+            or pc.do_nucleation or pc.seasalt_param > 0):
         do_chem = (cs.step % m_chem) == 0
 
         def micro(args):
             a, g = args
-            return microphysics_step(a, g, env, aero_data, scn, cfg, t,
+            return microphysics_step(a, g, env, aero_data, gas_data, scn,
+                                     cfg, grid, dyn2, t,
                                      keys[rng.STREAM_COAG])
 
         aero, gas = lax.cond(do_chem, micro, lambda ag: ag, (aero, gas))
@@ -161,6 +188,15 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
     if pc.do_transport:
         aero = transport_step(aero, diag.probs, diag.xkhh, exch_h, grid, cfg,
                               dt, keys[rng.STREAM_TRANSPORT])
+
+    # open lateral boundaries: inflow background resampling + gas BCs
+    if not (cfg.boundary.periodic_x and cfg.boundary.periodic_y):
+        from .boundary import apply_gas_open_bc, resample_inflow_particles
+
+        bc_key = rng.step_key(base_seed_key, cs.step, rng.STREAM_BC)
+        aero = resample_inflow_particles(aero, dyn2, scn, aero_data, grid,
+                                         cfg, bc_key)
+        gas = apply_gas_open_bc(gas, dyn2, scn, grid, cfg)
     if pc.do_deposition:
         aero = surface_deposition(aero, env, aero_data, grid, cfg,
                                   keys[rng.STREAM_DEPOSITION])

@@ -167,15 +167,18 @@ def sample_destinations(aero: AeroState, probs: OutflowProbs, p_hdiff, R,
     new_k = jnp.where(horizontal, kk, dest_k)
     new_j = jj + dj
     new_i = ii + di
+    out = jnp.zeros_like(new_i, dtype=bool)
     if cfg.boundary.periodic_x:
         new_i = new_i % nx
     else:
+        out = out | (new_i < 0) | (new_i >= nx)   # leaves the open domain
         new_i = jnp.clip(new_i, 0, nx - 1)
     if cfg.boundary.periodic_y:
         new_j = new_j % ny
     else:
+        out = out | (new_j < 0) | (new_j >= ny)
         new_j = jnp.clip(new_j, 0, ny - 1)
-    return new_k, new_j, new_i
+    return new_k, new_j, new_i, out
 
 
 def rebucket(aero: AeroState, new_k, new_j, new_i, grid: Grid) -> AeroState:
@@ -237,9 +240,15 @@ def rebucket(aero: AeroState, new_k, new_j, new_i, grid: Grid) -> AeroState:
 
 def transport_step(aero: AeroState, probs: OutflowProbs, xkhh, exch_h,
                    grid: Grid, cfg: Config, dt, key) -> AeroState:
-    """Full stochastic transport step (wrf_pmc_trans_driver equivalent)."""
+    """Full stochastic transport step (wrf_pmc_trans_driver equivalent).
+    Particles sampled across an open lateral boundary are removed (the
+    outflow-discard of ``wrf_pmc_trans_aero.F90:811-955``)."""
     p_hdiff = horizontal_diffusion_probs(xkhh, grid, dt)
     R = vertical_operator(probs, xkhh, exch_h, grid, cfg, dt)
-    new_k, new_j, new_i = sample_destinations(aero, probs, p_hdiff, R, grid,
-                                              cfg, key)
+    new_k, new_j, new_i, out = sample_destinations(aero, probs, p_hdiff, R,
+                                                   grid, cfg, key)
+    if not (cfg.boundary.periodic_x and cfg.boundary.periodic_y):
+        aero = dataclasses.replace(
+            aero, num=jnp.where(out, 0.0, aero.num),
+            vol=jnp.where(out[..., None, :], 0.0, aero.vol))
     return rebucket(aero, new_k, new_j, new_i, grid)
