@@ -120,9 +120,11 @@ def main():
             t_c, out_c = _time_run(run_c, st_c, n_cpl)
             n_part = max(n_try, 8)
             break
-        except Exception as e:  # RESOURCE_EXHAUSTED on small-HBM chips
+        except Exception as e:  # OOM on small-HBM chips -> next sweep point
             last_err = e
-            if "RESOURCE_EXHAUSTED" not in str(e):
+            msg = str(e)
+            if not any(s in msg for s in ("RESOURCE_EXHAUSTED", "ResourceExhausted",
+                                          "Ran out of memory", "out of memory")):
                 raise
     else:
         raise last_err
@@ -132,7 +134,8 @@ def main():
     part_steps = parts * n_cpl / t_c
     # coagulation candidate-pair evaluations per second (chem steps only;
     # chem_dt == 6 dt in the entry config -> every step here counts pairs/2)
-    coag_pairs = cells * (cap // 2) * n_cpl / t_c
+    cap_used = st_c.aero.num.shape[-1]
+    coag_pairs = cells * (cap_used // 2) * n_cpl / t_c
 
     prev = _prev_value()
     result = {

@@ -123,6 +123,10 @@ def microphysics_step(aero: AeroState, gas, env: EnvState, aero_data: AeroData,
         k0 = jax.lax.broadcasted_iota(jnp.int32, num.shape, 0) == 0
         aero = add_particles(aero, vol, jnp.where(k0, num, 0.0), src, wcl,
                              time=t)
+    if pc.do_mosaic:
+        from ..partmc.simple_chem import chem_step
+
+        aero, gas = chem_step(aero, gas, gas_data, aero_data, env, dt_chem)
     if pc.do_condensation:
         aero = equilib_water(aero, aero_data, env)
     return aero, gas
@@ -173,7 +177,7 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
     # microphysics on the chem_dt cadence
     t = cs.step.astype(jnp.float32) * dt
     if (pc.do_coagulation or pc.do_emission or pc.do_condensation
-            or pc.do_nucleation or pc.seasalt_param > 0):
+            or pc.do_nucleation or pc.do_mosaic or pc.seasalt_param > 0):
         do_chem = (cs.step % m_chem) == 0
 
         def micro(args):
