@@ -112,10 +112,12 @@ def vertical_operator(probs: OutflowProbs, xkhh_unused, exch_h, grid: Grid,
     return R
 
 
-def _gather_by_class(field_cf, w_class):
-    """field_cf: [n_class, nz, ny, nx] -> per-particle values [nz, ny, nx, P]."""
+def _gather_by_class(field_cf, cls_onehot):
+    """field_cf: [n_class, nz, ny, nx] -> per-particle values [nz, ny, nx, P]
+    via a one-hot contraction over the (small) class axis — lane-axis gathers
+    are slow on TPU, tiny einsums are free."""
     f = jnp.moveaxis(field_cf, 0, -1)              # [nz, ny, nx, n_class]
-    return jnp.take_along_axis(f, w_class, axis=-1)
+    return jnp.einsum("...c,...pc->...p", f, cls_onehot)
 
 
 def sample_destinations(aero: AeroState, probs: OutflowProbs, p_hdiff, R,
@@ -127,10 +129,11 @@ def sample_destinations(aero: AeroState, probs: OutflowProbs, p_hdiff, R,
     k_h, k_v = jax.random.split(key)
 
     cls = aero.w_class                              # [nz, ny, nx, P]
-    pxm = _gather_by_class(probs.xm, cls) + p_hdiff[..., None]
-    pxp = _gather_by_class(probs.xp, cls) + p_hdiff[..., None]
-    pym = _gather_by_class(probs.ym, cls) + p_hdiff[..., None]
-    pyp = _gather_by_class(probs.yp, cls) + p_hdiff[..., None]
+    cls_oh = jax.nn.one_hot(cls, cfg.n_class, dtype=jnp.float32)  # [..., P, C]
+    pxm = _gather_by_class(probs.xm, cls_oh) + p_hdiff[..., None]
+    pxp = _gather_by_class(probs.xp, cls_oh) + p_hdiff[..., None]
+    pym = _gather_by_class(probs.ym, cls_oh) + p_hdiff[..., None]
+    pyp = _gather_by_class(probs.yp, cls_oh) + p_hdiff[..., None]
     total_h = pxm + pxp + pym + pyp
     scale = jnp.where(total_h > 1.0, 1.0 / jnp.maximum(total_h, 1e-12), 1.0)
     pxm, pxp, pym, pyp = (p * scale for p in (pxm, pxp, pym, pyp))
@@ -144,20 +147,14 @@ def sample_destinations(aero: AeroState, probs: OutflowProbs, p_hdiff, R,
     dj = jnp.where((u >= c2) & (u < c3), -1, jnp.where((u >= c3) & (u < c4), 1, 0))
     horizontal = u < c4
 
-    # vertical destination from R rows (only for non-horizontal movers)
+    # vertical destination from R rows (non-horizontal movers): per-particle
+    # CDF via one one-hot contraction over the class axis, then an
+    # inverse-CDF count — no per-level loop.
     u2 = jax.random.uniform(k_v, aero.num.shape)
-    R_t = jnp.moveaxis(R, -2, 1)                    # [n_class, nz_src, ny, nx, nz_dst]
-
-    def vbody(d, carry):
-        dest_k, cum = carry
-        r_d = _gather_by_class(R_t[..., d], cls)    # [nz, ny, nx, P]
-        cum = cum + r_d
-        dest_k = dest_k + (u2 >= cum).astype(jnp.int32)
-        return dest_k, cum
-
-    dest_k0 = jnp.zeros_like(cls)
-    cum0 = jnp.zeros_like(u2)
-    dest_k, _ = lax.fori_loop(0, nz, vbody, (dest_k0, cum0))
+    R_cum = jnp.cumsum(R, axis=-1)                  # [C, ny, nx, nz_src, nzd]
+    R_t = jnp.moveaxis(jnp.moveaxis(R_cum, -2, 1), 0, -1)  # [nz,ny,nx,nzd,C]
+    cdf = jnp.einsum("...dc,...pc->...pd", R_t, cls_oh)    # [nz,ny,nx,P,nzd]
+    dest_k = jnp.sum((u2[..., None] >= cdf).astype(jnp.int32), axis=-1)
     dest_k = jnp.clip(dest_k, 0, nz - 1)
 
     kk = jax.lax.broadcasted_iota(jnp.int32, (nz, ny, nx, P), 0)
@@ -197,7 +194,6 @@ def rebucket(aero: AeroState, new_k, new_j, new_i, grid: Grid) -> AeroState:
     dest_flat = jnp.where(alive_flat, dest_flat, C)  # dead -> sentinel bucket
 
     order = jnp.argsort(dest_flat, stable=True)
-    dsorted = dest_flat[order]
 
     counts = jnp.bincount(dest_flat, length=C + 1)
     starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
@@ -215,26 +211,33 @@ def rebucket(aero: AeroState, new_k, new_j, new_i, grid: Grid) -> AeroState:
     src_pos = jnp.clip(src_pos, 0, N - 1)
     gather_idx = order[src_pos]                                # [C, P] flat src
 
-    def take2(a):
-        return jnp.where(valid, a.reshape(N)[gather_idx], 0)
+    # single packed row-gather for every per-particle field (many separate
+    # element-gathers are slow on TPU; one [N, CH] row gather is one pass)
+    S = aero.vol.shape[-2]
+    bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
+    payload = jnp.concatenate(
+        [aero.num[..., None], aero.t_create[..., None],
+         bc(aero.pid)[..., None], bc(aero.source)[..., None],
+         bc(aero.w_class)[..., None],
+         jnp.moveaxis(aero.vol, -2, -1)],                     # [.., P, S]
+        axis=-1).reshape(N, 5 + S)
+    rows = jnp.where(valid[..., None], payload[gather_idx], 0.0)  # [C, P, 5+S]
 
-    num = jnp.where(valid, num_flat[gather_idx], 0.0)
+    num = rows[..., 0]
     kept = jnp.sum(num, axis=-1)                               # [C]
     scale = jnp.where(kept > 0, tot_in[:C] / jnp.maximum(kept, 1e-300), 1.0)
     num = num * scale[:, None]
 
-    vol_flat = jnp.moveaxis(aero.vol, -2, 0).reshape(aero.vol.shape[-2], N)
-    vol = jnp.where(valid[None], vol_flat[:, gather_idx], 0.0)  # [S, C, P]
-
+    ic = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
     cshape = (nz, ny, nx, P)
     return dataclasses.replace(
         aero,
-        vol=jnp.moveaxis(vol, 0, -2).reshape(nz, ny, nx, aero.vol.shape[-2], P),
+        vol=jnp.moveaxis(rows[..., 5:].reshape(*cshape, S), -1, -2),
         num=num.reshape(cshape),
-        pid=take2(aero.pid).reshape(cshape),
-        source=take2(aero.source).reshape(cshape),
-        w_class=take2(aero.w_class).reshape(cshape),
-        t_create=jnp.where(valid, aero.t_create.reshape(N)[gather_idx], 0.0).reshape(cshape),
+        pid=ic(rows[..., 2]).reshape(cshape),
+        source=ic(rows[..., 3]).reshape(cshape),
+        w_class=ic(rows[..., 4]).reshape(cshape),
+        t_create=rows[..., 1].reshape(cshape),
     )
 
 
