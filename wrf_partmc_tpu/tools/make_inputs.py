@@ -1,0 +1,144 @@
+"""Initial-condition / boundary-condition / emission input generators+readers.
+
+Equivalent of the reference's pre-processing tools (SURVEY 2.6):
+``boundary_and_initial_conditions/make_ics.F90`` / ``make_bcs.F90`` (per-column
+NetCDF files of log-normal modes read by ``init_read_in_ics`` / ``_bcs``,
+``wrf_pmc_init.F90:809-1080``) and ``emissions/make_emissions.F90``
+(per-cell ``aero_emit_dist_<i>_<j>_<k>.nc`` mode time series read by
+``init_read_in_emissions`` ``:583-804``).
+
+TPU-native redesign of the file contract: ONE whole-domain NetCDF per kind
+holding stacked mode-parameter arrays (the reference writes one small file
+per column/cell from each MPI rank; with device-global arrays a single file
+is the natural unit).  Readers return :class:`AeroDist` pytrees with leading
+cell axes that feed directly into ``populate_from_dist`` / ``Scenario``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..models.partmc.dist import AeroDist
+import jax.numpy as jnp
+
+
+def _nc(path, mode="w"):
+    from scipy.io import netcdf_file
+    return netcdf_file(path, mode, version=2)
+
+
+def _write_dist(f, prefix: str, dist: AeroDist, dims: tuple):
+    """Write a (possibly cell-batched) AeroDist's arrays under name prefix."""
+    def var(name, extra_dims, data, typ="f"):
+        v = f.createVariable(prefix + name, typ, dims + extra_dims)
+        v[:] = np.asarray(data, np.float32 if typ == "f" else np.int32)
+
+    var("num_conc", ("mode",), dist.num_conc)
+    var("geom_mean_diam", ("mode",), dist.geom_mean_diam)
+    var("log_geom_std", ("mode",), dist.log_geom_std)
+    var("vol_frac", ("mode", "spec"), dist.vol_frac)
+    # source/w_class are mode-only (no cell batch)
+    v = f.createVariable(prefix + "source", "i", ("mode",))
+    v[:] = np.asarray(dist.source, np.int32)
+    v = f.createVariable(prefix + "w_class", "i", ("mode",))
+    v[:] = np.asarray(dist.w_class, np.int32)
+
+
+def _read_dist(f, prefix: str) -> AeroDist:
+    g = lambda n: jnp.asarray(np.array(f.variables[prefix + n][:]), jnp.float32)
+    gi = lambda n: jnp.asarray(np.array(f.variables[prefix + n][:]), jnp.int32)
+    return AeroDist(num_conc=g("num_conc"), geom_mean_diam=g("geom_mean_diam"),
+                    log_geom_std=g("log_geom_std"), vol_frac=g("vol_frac"),
+                    source=gi("source"), w_class=gi("w_class"))
+
+
+# ------------------------------------------------------------------- ICs
+
+def write_ics(path: str, dist: AeroDist, grid) -> None:
+    """Per-level/per-cell IC modes.  dist arrays may be [M], [nz, M] or
+    [nz, ny, nx, M] (plus [.., M, S] vol_frac)."""
+    f = _nc(path)
+    lead = dist.num_conc.shape[:-1]
+    names = ("z", "y", "x")[:len(lead)]
+    for n, s in zip(names, lead):
+        f.createDimension(n, s)
+    f.createDimension("mode", dist.n_mode)
+    f.createDimension("spec", dist.vol_frac.shape[-1])
+    _write_dist(f, "ic_", dist, names)
+    f.flush()
+    f.close()
+
+
+def read_ics(path: str) -> AeroDist:
+    f = _nc(path, "r")
+    d = _read_dist(f, "ic_")
+    f.close()
+    return d
+
+
+# -------------------------------------------------------------- emissions
+
+def write_emissions(path: str, times, dist: AeroDist, gas_rate) -> None:
+    """Emission time series.  dist arrays [T, (nz, ny, nx,)? M] with rates in
+    [# m-3 s-1]; gas_rate [T, (nz, ny, nx,)? G] ppb s-1."""
+    f = _nc(path)
+    f.createDimension("time", len(np.asarray(times)))
+    lead = dist.num_conc.shape[1:-1]
+    names = ("z", "y", "x")[:len(lead)]
+    for n, s in zip(names, lead):
+        f.createDimension(n, s)
+    f.createDimension("mode", dist.n_mode)
+    f.createDimension("spec", dist.vol_frac.shape[-1])
+    f.createDimension("gas", np.asarray(gas_rate).shape[-1])
+    v = f.createVariable("time", "f", ("time",))
+    v[:] = np.asarray(times, np.float32)
+    _write_dist(f, "emit_", dist, ("time",) + names)
+    v = f.createVariable("gas_emit_rate", "f", ("time",) + names + ("gas",))
+    v[:] = np.asarray(gas_rate, np.float32)
+    f.flush()
+    f.close()
+
+
+def read_emissions(path: str):
+    f = _nc(path, "r")
+    times = jnp.asarray(np.array(f.variables["time"][:]), jnp.float32)
+    dist = _read_dist(f, "emit_")
+    gas = jnp.asarray(np.array(f.variables["gas_emit_rate"][:]), jnp.float32)
+    f.close()
+    return times, dist, gas
+
+
+# -------------------------------------------------------------------- BCs
+
+def write_bcs(path: str, times, back_dist: AeroDist, back_gas,
+              dilution_rate) -> None:
+    """Lateral-boundary background reservoir time series (the scenario
+    background+dilution encoding of ``init_read_in_bcs``)."""
+    f = _nc(path)
+    f.createDimension("time", len(np.asarray(times)))
+    lead = back_dist.num_conc.shape[1:-1]
+    names = ("z",)[:len(lead)]
+    for n, s in zip(names, lead):
+        f.createDimension(n, s)
+    f.createDimension("mode", back_dist.n_mode)
+    f.createDimension("spec", back_dist.vol_frac.shape[-1])
+    f.createDimension("gas", np.asarray(back_gas).shape[-1])
+    v = f.createVariable("time", "f", ("time",))
+    v[:] = np.asarray(times, np.float32)
+    _write_dist(f, "bc_", back_dist, ("time",) + names)
+    v = f.createVariable("back_gas", "f", ("time",) + names + ("gas",))
+    v[:] = np.asarray(back_gas, np.float32)
+    v = f.createVariable("dilution_rate", "f", ("time",))
+    v[:] = np.asarray(dilution_rate, np.float32)
+    f.flush()
+    f.close()
+
+
+def read_bcs(path: str):
+    f = _nc(path, "r")
+    times = jnp.asarray(np.array(f.variables["time"][:]), jnp.float32)
+    dist = _read_dist(f, "bc_")
+    gas = jnp.asarray(np.array(f.variables["back_gas"][:]), jnp.float32)
+    dil = jnp.asarray(np.array(f.variables["dilution_rate"][:]), jnp.float32)
+    f.close()
+    return times, dist, gas, dil

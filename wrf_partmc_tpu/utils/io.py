@@ -75,12 +75,20 @@ def write_history(path: str, cs: CoupledState, grid, cfg, diag=None) -> None:
 _PARTICLE_FIELDS = ("vol", "num", "pid", "source", "w_class", "t_create")
 
 
-def write_restart(path: str, cs: CoupledState) -> None:
+def write_restart(path: str, cs: CoupledState, writer=None) -> None:
     """Full coupled-model restart (Eulerian + exact particle state +
-    ``next_id``, the two-part restart of SURVEY 5.4) as one npz."""
+    ``next_id``, the two-part restart of SURVEY 5.4) as one npz.
+
+    With ``writer`` (a :class:`~wrf_partmc_tpu.utils.quilt.QuiltWriter`) the
+    serialized bytes are handed to the native async quilt thread pool and
+    this call returns without blocking on disk."""
     leaves, treedef = jax.tree.flatten(cs)
     arrs = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
-    np.savez_compressed(path, n_leaves=len(leaves), **arrs)
+    if writer is not None:
+        writer.submit_npz(path, lambda buf: np.savez_compressed(
+            buf, n_leaves=len(leaves), **arrs))
+    else:
+        np.savez_compressed(path, n_leaves=len(leaves), **arrs)
 
 
 def read_restart(path: str, template: CoupledState) -> CoupledState:
