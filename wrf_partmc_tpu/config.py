@@ -53,6 +53,7 @@ class DynamicsConfig:
     smdiv: float = 0.1            # divergence damping coefficient
     constant_velocity: bool = False  # PMC_CONSTANT_VEL: freeze dynamics
                                      # (solve_em.F:535,1326,1548)
+    mp_physics: int = 0              # 0=off, 1=Kessler warm rain
 
 
 @dataclass(frozen=True)

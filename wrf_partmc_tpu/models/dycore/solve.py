@@ -286,5 +286,11 @@ def solve_step(state: DycoreState, grid: Grid, cfg: Config):
         xkhh = jnp.full((grid.nz, grid.ny, grid.nx), dyn.khdif, jnp.float32)
 
     new = replace(new, moist=moist, chem=chem, num_conc=num_conc)
+
+    # microphysics adjustment at the end of the step (solve_em.F:3760)
+    if dyn.mp_physics == 1:
+        from ..physics.microphysics import kessler_step
+
+        new = kessler_step(new, grid, dyn.dt)
     return new, StepDiag(probs=probs, xkhh=xkhh, rho_u=rho_u, rho_v=rho_v,
                          rho_w=rho_w)
