@@ -29,6 +29,10 @@ class DomainConfig:
     dy: float = 2000.0      # [m]
     ztop: float = 10000.0   # model top height [m] (ideal cases)
     p_top: float = 10000.0  # pressure at model top [Pa] (real-style base state)
+    lat0: float = 40.0      # domain-center latitude [deg] (photolysis zenith)
+    lon0: float = -88.0     # domain-center longitude [deg]
+    julian_day: int = 172   # start day-of-year (&time_control julday)
+    gmt: float = 12.0       # start hour UTC (&time_control gmt)
 
 
 @dataclass(frozen=True)
@@ -81,8 +85,15 @@ class PartmcConfig:
     partmc_chem_dt: float = 60.0   # microphysics macro-step [s] (registry.partmc:24)
     do_coagulation: bool = True
     do_emission: bool = True
-    do_mosaic: bool = False        # gas/aerosol chemistry (round-1: off, as the
-                                   # reference supports; mosaic/ is private)
+    do_mosaic: bool = False        # gas/aerosol chemistry (do_mosaic,
+                                   # registry.partmc; off in all in-tree
+                                   # reference ideal cases)
+    chem_mech: str = "cbmz"        # "cbmz": full 77-species CBM-Z + ASTEM/
+                                   # MESA-lite + SOA (models/partmc/cbmz.py,
+                                   # mosaic.py); "simple": reduced SO2->H2SO4
+                                   # condensation stand-in (simple_chem.py)
+    n_sub_gas: int = 6             # ROS2 substeps per chem macro-step
+    n_sub_astem: int = 4           # ASTEM substeps per chem macro-step
     do_optical: bool = False
     do_deposition: bool = True
     do_transport: bool = True

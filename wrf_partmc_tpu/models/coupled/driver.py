@@ -42,6 +42,15 @@ from ..partmc.scenario import Scenario, update_aero_state, update_gas_state
 from ..physics.thermo import relative_humidity
 from .transport import transport_step
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _cbmz_mechanism():
+    from ..partmc.cbmz import build_mechanism
+
+    return build_mechanism()
+
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
@@ -124,9 +133,23 @@ def microphysics_step(aero: AeroState, gas, env: EnvState, aero_data: AeroData,
         aero = add_particles(aero, vol, jnp.where(k0, num, 0.0), src, wcl,
                              time=t)
     if pc.do_mosaic:
-        from ..partmc.simple_chem import chem_step
+        if pc.chem_mech == "simple" or gas_data.n_spec < 77:
+            from ..partmc.simple_chem import chem_step
 
-        aero, gas = chem_step(aero, gas, gas_data, aero_data, env, dt_chem)
+            aero, gas = chem_step(aero, gas, gas_data, aero_data, env,
+                                  dt_chem)
+        else:
+            from ..partmc.cbmz import cos_zenith
+            from ..partmc.mosaic import mosaic_timestep
+
+            dom = cfg.domain
+            utc = dom.gmt * 3600.0 + t
+            cosz = cos_zenith(dom.lat0, dom.lon0,
+                              dom.julian_day + utc // 86400.0, utc % 86400.0)
+            aero, gas = mosaic_timestep(
+                _cbmz_mechanism(), aero, gas, gas_data, aero_data, env,
+                dt_chem, cosz, n_sub_gas=pc.n_sub_gas,
+                n_sub_astem=pc.n_sub_astem)
     if pc.do_condensation:
         aero = equilib_water(aero, aero_data, env)
     return aero, gas

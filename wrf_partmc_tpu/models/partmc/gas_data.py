@@ -50,6 +50,13 @@ def make_gas_data(gases=DEFAULT_GASES) -> GasData:
                    names=tuple(g[0] for g in gases))
 
 
+def make_gas_data_cbmz() -> GasData:
+    """The full 77-species CBM-Z registry of the chem_opt==777 package
+    (``Registry/registry.chem:3986``) — use with ``models.partmc.cbmz``."""
+    from .cbmz import CBMZ_GASES
+    return make_gas_data(CBMZ_GASES)
+
+
 def parse_gas_data_dat(text: str) -> GasData:
     """Parse the reference ``gas_data.dat`` format (rows: ``name molec_weight``
     with '#' comments)."""
