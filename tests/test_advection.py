@@ -117,3 +117,63 @@ def test_batched_classes_advect_independently():
     assert qf.shape == q.shape and probs.xp.shape == q.shape
     # the two classes' probability fields differ (different q shapes)
     assert float(jnp.max(jnp.abs(probs.xp[0] - probs.xp[1]))) > 1e-4
+
+
+# ------------------------- monotonic limiter (advect_scalar_mono path) ----
+
+def test_mono_no_new_extrema_square_wave():
+    """FCT property: a square wave stays within [min, max] of the initial
+    data (no overshoots/undershoots) — stronger than PD (positivity only)
+    (``module_advect_em.F:9569`` advect_scalar_mono, chem_adv_opt=2)."""
+    from wrf_partmc_tpu.ops.advection import rk3_advect_mono
+
+    u, v, w = _winds(10.0)
+    x = (jnp.arange(NX) + 0.5) / NX
+    q0 = jnp.where((x > 0.2) & (x < 0.4), 1.0, 0.0)
+    q = jnp.broadcast_to(q0, (NZ, NY, NX)).astype(jnp.float32)
+    dt = 25.0
+
+    def step(q, _):
+        qn, _ = rk3_advect_mono(q, u, v, w, RHO, dt, RDX, RDX, RDZ)
+        return qn, None
+
+    qn, _ = jax.lax.scan(step, q, None, length=64)
+    assert float(qn.min()) >= -1e-6
+    assert float(qn.max()) <= 1.0 + 1e-5
+    # mass conserved
+    np.testing.assert_allclose(float(qn.sum()), float(q.sum()), rtol=1e-5)
+
+
+def test_mono_translation_accuracy():
+    """Gaussian after a full periodic revolution: peak preserved within the
+    usual FCT clipping, shape close to the PD solution."""
+    from wrf_partmc_tpu.ops.advection import rk3_advect_mono
+
+    u0, dt = 10.0, 25.0
+    n = int(NX * DX / (u0 * dt))
+    u, v, w = _winds(u0)
+    q = _gauss_x()
+
+    def step(q, _):
+        qn, _ = rk3_advect_mono(q, u, v, w, RHO, dt, RDX, RDX, RDZ)
+        return qn, None
+
+    qn, _ = jax.lax.scan(step, q, None, length=n)
+    err = float(jnp.abs(qn - q).max())
+    assert err < 0.15
+    assert float(qn.max()) > 0.8        # limited peak erosion
+
+
+def test_mono_probs_uniform_flow():
+    """Captured outflow probabilities under uniform +x flow: only xp active,
+    equal to the Courant number for a uniform field."""
+    from wrf_partmc_tpu.ops.advection import rk3_advect_mono
+
+    u, v, w = _winds(5.0)
+    q = jnp.ones((NZ, NY, NX), jnp.float32)
+    dt = 40.0
+    _, probs = rk3_advect_mono(q, u, v, w, RHO, dt, RDX, RDX, RDZ)
+    np.testing.assert_allclose(np.asarray(probs.xp), 5.0 * dt / DX, rtol=1e-5)
+    for nm in ("xm", "ym", "yp", "zm", "zp"):
+        np.testing.assert_allclose(np.asarray(getattr(probs, nm)), 0.0,
+                                   atol=1e-7)

@@ -44,8 +44,10 @@ class DynamicsConfig:
     n_sound: int = 4              # acoustic substeps per RK3 full step
     h_adv_order: int = 5          # horizontal advection order
     v_adv_order: int = 3          # vertical advection order
-    chem_adv_opt: str = "pd"      # positive-definite limiter (chem_adv_opt=2)
-    moist_adv_opt: str = "pd"
+    chem_adv_opt: str = "mono"    # "pd" (chem_adv_opt=1) | "mono" (=2, the
+                                  # PartMC test namelists' choice,
+                                  # test/em_uniform/namelist.input:93)
+    moist_adv_opt: str = "pd"     # moist_adv_opt=1 (WRF default)
     khdif: float = 0.0            # constant horizontal diffusion [m2 s-1]
     kvdif: float = 0.0            # constant vertical diffusion [m2 s-1]
     smag_cs: float = 0.25         # Smagorinsky constant (diff_opt=2)
@@ -179,12 +181,17 @@ def namelist_to_config(groups: dict) -> Config:
         ))
     dyn = groups.get("dynamics", {})
     if dyn:
+        adv_map = {0: "pd", 1: "pd", 2: "mono"}   # WRF *_adv_opt integers
         cfg = _replace_sub(cfg, "dynamics",
                            h_adv_order=int(dyn.get("h_sca_adv_order", 5)),
                            v_adv_order=int(dyn.get("v_sca_adv_order", 3)),
                            khdif=float(dyn.get("khdif", 0.0)),
                            kvdif=float(dyn.get("kvdif", 0.0)),
-                           diff_opt=int(dyn.get("diff_opt", 0)))
+                           diff_opt=int(dyn.get("diff_opt", 0)),
+                           chem_adv_opt=adv_map.get(
+                               int(dyn.get("chem_adv_opt", 2)), "mono"),
+                           moist_adv_opt=adv_map.get(
+                               int(dyn.get("moist_adv_opt", 1)), "pd"))
     tc = groups.get("time_control", {})
     if tc:
         cfg = _replace_sub(cfg, "time_control",

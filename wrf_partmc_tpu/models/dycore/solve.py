@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from ... import constants as c
 from ...config import Config
 from ...grid import Grid
-from ...ops.advection import OutflowProbs, rk3_advect_pd, face_fluxes, flux_divergence
+from ...ops.advection import (OutflowProbs, face_fluxes, flux_divergence,
+                              rk3_advect_mono, rk3_advect_pd)
 from ...ops.stencil import AXIS_X, AXIS_Y, shift
 from ...ops.tridiag import solve as tridiag_solve
 from .state import DycoreState, base_profiles, replace
@@ -271,14 +272,15 @@ def solve_step(state: DycoreState, grid: Grid, cfg: Config):
     rho_v = rho_b.reshape(-1, 1, 1) * 0.5 * (state.v + new.v)
     rho_w = rho_f.reshape(-1, 1, 1) * 0.5 * (state.w + new.w)
 
-    adv = lambda q: rk3_advect_pd(
-        q, rho_u, rho_v, rho_w, rho_b, dyn.dt, grid.rdx, grid.rdy, rdz,
-        dyn.h_adv_order, dyn.v_adv_order, bx, by,
-        w_prob_cap=cfg.partmc.w_prob_cap)
+    def adv(q, opt):
+        fn = rk3_advect_mono if opt == "mono" else rk3_advect_pd
+        return fn(q, rho_u, rho_v, rho_w, rho_b, dyn.dt, grid.rdx, grid.rdy,
+                  rdz, dyn.h_adv_order, dyn.v_adv_order, bx, by,
+                  w_prob_cap=cfg.partmc.w_prob_cap)
 
-    moist, _ = adv(state.moist)
-    chem, _ = adv(state.chem)
-    num_conc, probs = adv(state.num_conc)
+    moist, _ = adv(state.moist, dyn.moist_adv_opt)
+    chem, _ = adv(state.chem, dyn.chem_adv_opt)
+    num_conc, probs = adv(state.num_conc, dyn.chem_adv_opt)
 
     if dyn.diff_opt == 2:
         xkhh = smagorinsky_khh(new, grid, cfg)

@@ -192,6 +192,128 @@ def rk3_advect_pd(q, rho_u, rho_v, rho_w, rho, dt, rdx, rdy, rdz,
                      h_order, v_order, bc_x, bc_y, w_prob_cap, q_stage=q2)
 
 
+def advect_mono(q, rho_u, rho_v, rho_w, rho, dt, rdx, rdy, rdz,
+                h_order: int = 5, v_order: int = 3,
+                bc_x: str = "periodic", bc_y: str = "periodic",
+                w_prob_cap: float = 0.95, q_stage=None):
+    """Monotonic flux-limited advection step with flux capture — the
+    ``advect_scalar_mono`` path (``module_advect_em.F:9569-10865``,
+    selected by chem_adv_opt=2 in the PartMC test namelists).
+
+    Zalesak/FCT limiter: the 1st-order monotone update q_td sets the
+    transported-diffused state; antidiffusive corrections are limited per
+    face so the result stays within the local [min, max] envelope of
+    (q, q_td) over the 6-neighbor stencil — no new extrema, positivity
+    included (strictly stronger than the PD limiter).
+    """
+    if q_stage is None:
+        q_stage = q
+    rho_c = rho.reshape(-1, 1, 1)
+    fx_h, fy_h, fz_h = face_fluxes(q_stage, rho_u, rho_v, rho_w, h_order,
+                                   v_order, bc_x, bc_y)
+    fx_l, fy_l, fz_l = face_fluxes(q, rho_u, rho_v, rho_w, 1, 1, bc_x, bc_y)
+    fz_l = _zero_boundary_vertical_flux(fz_l)
+
+    q_td = q - dt * flux_divergence(fx_l, fy_l, fz_l, rdx, rdy, rdz) / rho_c
+    q_td = jnp.maximum(q_td, 0.0)
+
+    ax, ay, az = fx_h - fx_l, fy_h - fy_l, fz_h - fz_l
+    az = _zero_boundary_vertical_flux(az)
+
+    # local extrema envelope over both time levels and the 6-point stencil
+    def minmax(f):
+        def nb(a, axis, bc):
+            return jnp.stack([shift(a, 1, axis, bc), shift(a, -1, axis, bc)])
+        z_lo = jnp.concatenate([q_td[..., :1, :, :],
+                                q_td[..., :-1, :, :]], axis=-3)
+        z_hi = jnp.concatenate([q_td[..., 1:, :, :],
+                                q_td[..., -1:, :, :]], axis=-3)
+        cand = jnp.stack([q, q_td, z_lo, z_hi,
+                          shift(q_td, 1, AXIS_X, bc_x),
+                          shift(q_td, -1, AXIS_X, bc_x),
+                          shift(q_td, 1, AXIS_Y, bc_y),
+                          shift(q_td, -1, AXIS_Y, bc_y)])
+        return f(cand, axis=0)
+
+    q_max = minmax(jnp.max)
+    q_min = jnp.maximum(minmax(jnp.min), 0.0)
+
+    # incoming (P+) and outgoing (P-) antidiffusive mass rates per cell
+    def in_out(a_face, axis, geom):
+        inc = (jnp.maximum(a_face, 0.0)
+               + jnp.maximum(-shift(a_face, 1, axis), 0.0)) * geom
+        out = (jnp.maximum(-a_face, 0.0)
+               + jnp.maximum(shift(a_face, 1, axis), 0.0)) * geom
+        return inc, out
+
+    in_x, out_x = in_out(ax, AXIS_X, rdx)
+    in_y, out_y = in_out(ay, AXIS_Y, rdy)
+    rdz_c = rdz.reshape(-1, 1, 1)
+    in_z = (jnp.maximum(az[..., :-1, :, :], 0.0)
+            + jnp.maximum(-az[..., 1:, :, :], 0.0)) * rdz_c
+    out_z = (jnp.maximum(-az[..., :-1, :, :], 0.0)
+             + jnp.maximum(az[..., 1:, :, :], 0.0)) * rdz_c
+    p_in = in_x + in_y + in_z
+    p_out = out_x + out_y + out_z
+
+    r_in = jnp.where(p_in > 0.0,
+                     jnp.minimum(1.0, rho_c * (q_max - q_td)
+                                 / (dt * jnp.maximum(p_in, 1e-30))), 1.0)
+    r_out = jnp.where(p_out > 0.0,
+                      jnp.minimum(1.0, rho_c * (q_td - q_min)
+                                  / (dt * jnp.maximum(p_out, 1e-30))), 1.0)
+    r_in = jnp.clip(r_in, 0.0, 1.0)
+    r_out = jnp.clip(r_out, 0.0, 1.0)
+
+    # face factor: min(receiver r_in, donor r_out) by flux sign
+    def limit(a_face, axis):
+        rin_lo, rout_lo = r_in, r_out                     # cell i (this side)
+        rin_hi = shift(r_in, -1, axis)                    # cell i-1
+        rout_hi = shift(r_out, -1, axis)
+        fac = jnp.where(a_face > 0.0, jnp.minimum(rin_lo, rout_hi),
+                        jnp.minimum(rin_hi, rout_lo))
+        return a_face * fac
+
+    ax = limit(ax, AXIS_X)
+    ay = limit(ay, AXIS_Y)
+    # vertical faces: face k between cells k-1 (below) and k (above);
+    # positive flux (upward... sign convention: flux toward +z) donor k-1
+    pad = lambda a: jnp.concatenate([a[..., :1, :, :], a, a[..., -1:, :, :]],
+                                    axis=-3)
+    rin_p, rout_p = pad(r_in), pad(r_out)
+    fac_z = jnp.where(az > 0.0,
+                      jnp.minimum(rin_p[..., 1:, :, :], rout_p[..., :-1, :, :]),
+                      jnp.minimum(rin_p[..., :-1, :, :], rout_p[..., 1:, :, :]))
+    az = az * fac_z
+    az = _zero_boundary_vertical_flux(az)
+
+    q_new = q_td - dt * flux_divergence(ax, ay, az, rdx, rdy, rdz) / rho_c
+
+    fx_t, fy_t, fz_t = fx_l + ax, fy_l + ay, fz_l + az
+    probs = capture_outflow_probs(q, fx_t, fy_t, fz_t, rho, dt, rdx, rdy,
+                                  rdz, w_prob_cap)
+    return q_new, probs
+
+
+def rk3_advect_mono(q, rho_u, rho_v, rho_w, rho, dt, rdx, rdy, rdz,
+                    h_order: int = 5, v_order: int = 3,
+                    bc_x: str = "periodic", bc_y: str = "periodic",
+                    w_prob_cap: float = 0.95):
+    """RK3 scalar advection with the monotonic limiter on the final stage
+    (chem_adv_opt=2: ``solve_em.F:2525-2552`` -> advect_scalar_mono)."""
+    rho_c = rho.reshape(-1, 1, 1)
+
+    def tend(qs):
+        fx, fy, fz = face_fluxes(qs, rho_u, rho_v, rho_w, h_order, v_order,
+                                 bc_x, bc_y)
+        return -flux_divergence(fx, fy, fz, rdx, rdy, rdz) / rho_c
+
+    q1 = q + (dt / 3.0) * tend(q)
+    q2 = q + (dt / 2.0) * tend(q1)
+    return advect_mono(q, rho_u, rho_v, rho_w, rho, dt, rdx, rdy, rdz,
+                       h_order, v_order, bc_x, bc_y, w_prob_cap, q_stage=q2)
+
+
 def capture_outflow_probs(q, fx, fy, fz, rho, dt, rdx, rdy, rdz,
                           w_prob_cap: float = 0.95, q_eps: float = 1e-30):
     """Convert total face fluxes to per-cell outflow fractions.
