@@ -60,6 +60,9 @@ class DynamicsConfig:
     constant_velocity: bool = False  # PMC_CONSTANT_VEL: freeze dynamics
                                      # (solve_em.F:535,1326,1548)
     mp_physics: int = 0              # 0=off, 1=Kessler warm rain
+    ra_physics: int = 0              # 0=off, 1=Dudhia-class SW + gray LW
+                                     # (radiation_driver equivalent; aerosol
+                                     # direct effect when partmc.do_optical)
 
 
 @dataclass(frozen=True)

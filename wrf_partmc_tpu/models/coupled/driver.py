@@ -211,6 +211,30 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
 
         aero, gas = lax.cond(do_chem, micro, lambda ag: ag, (aero, gas))
 
+    # radiation (radiation_driver at RK step 1 in the reference; the PartMC
+    # aerosol direct effect enters through do_optical's tauaer/waer/gaer,
+    # wrf_pmc_driver.F90:2025-2097)
+    if cfg.dynamics.ra_physics == 1:
+        from ..partmc.cbmz import cos_zenith
+        from ..physics.radiation import radiation_driver
+
+        dom = cfg.domain
+        utc = dom.gmt * 3600.0 + t
+        cosz = cos_zenith(dom.lat0, dom.lon0,
+                          dom.julian_day + utc // 86400.0, utc % 86400.0)
+        rho_b, _, _ = base_profiles(grid)
+        rho3 = jnp.broadcast_to(rho_b.reshape(-1, 1, 1), env.temp.shape)
+        optics = None
+        if pc.do_optical:
+            from ..partmc.optics import bulk_optical_props
+
+            optics = bulk_optical_props(aero, aero_data, grid.dz,
+                                        env.cell_volume)
+        hr, _rad_diag = radiation_driver(
+            temperature(dyn2, grid), dyn2.moist[0], rho3, grid.dz, cosz,
+            optics=optics)
+        dyn2 = dataclasses.replace(dyn2, theta_p=dyn2.theta_p + dt * hr)
+
     # stochastic transport (+ deposition at the surface layer)
     if pc.do_transport:
         aero = transport_step(aero, diag.probs, diag.xkhh, exch_h, grid, cfg,
