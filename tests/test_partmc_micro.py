@@ -192,3 +192,68 @@ def test_box_urban_plume_smoke():
     assert n_final > 2e8
     n_alive = int(out.aero.n_alive())
     assert 16 <= n_alive <= 128
+
+
+# ---------------- dynamic condensation ODE (condense module parity) -------
+
+def test_condense_dynamic_relaxes_to_equilibrium():
+    """Subsaturated: the dynamic ODE must land on the kappa-Koehler
+    equilibrium water (PartMC condense.F90 vs condense_equilib)."""
+    import dataclasses as _dc
+
+    from wrf_partmc_tpu.models.partmc.condense import (condense_dynamic,
+                                                       equilib_water)
+
+    ad = AD
+    st = zero_state(ad, 16)
+    nv = np.zeros((ad.n_spec, 8), np.float32)
+    num = np.zeros(8, np.float32)
+    for i, d in enumerate([5e-8, 1e-7, 2e-7, 4e-7] * 2):
+        nv[ad.spec_by_name("SO4"), i] = np.pi / 6 * d ** 3
+        num[i] = 1e8
+    st = add_particles(st, jnp.asarray(nv), jnp.asarray(num),
+                       jnp.zeros(8, jnp.int32), jnp.zeros(8, jnp.int32), 0.0)
+    env = make_env_state(temp=285.0, pressure=9e4, rel_humid=0.9,
+                         cell_volume=1.0)
+    w_eq = np.asarray(equilib_water(st, ad, env).vol)[ad.i_water][:8]
+    st_dyn, s_out = condense_dynamic(st, ad, env, dt=60.0, n_sub=20)
+    w_dy = np.asarray(st_dyn.vol)[ad.i_water][:8]
+    np.testing.assert_allclose(w_dy, w_eq, rtol=1e-3)
+    # subsaturated, tiny vapor sink: S barely moves
+    assert abs(float(s_out) - 0.9) < 1e-3
+
+
+def test_condense_dynamic_activation_and_vapor_closure():
+    """Supersaturated parcel: particles above their critical supersaturation
+    grow into droplets, depleting the vapor (S decreases), and the water
+    gained exactly balances the vapor removed."""
+    import dataclasses as _dc
+
+    from wrf_partmc_tpu import constants as c
+    from wrf_partmc_tpu.models.partmc.condense import condense_dynamic
+
+    ad = AD
+    st = zero_state(ad, 16)
+    nv = np.zeros((ad.n_spec, 8), np.float32)
+    num = np.zeros(8, np.float32)
+    for i, d in enumerate([5e-8, 1e-7, 2e-7, 4e-7] * 2):
+        nv[ad.spec_by_name("SO4"), i] = np.pi / 6 * d ** 3
+        num[i] = 1e6                                 # 8e6 droplets / m3
+    st = add_particles(st, jnp.asarray(nv), jnp.asarray(num),
+                       jnp.zeros(8, jnp.int32), jnp.zeros(8, jnp.int32), 0.0)
+    env = make_env_state(temp=280.0, pressure=9e4, rel_humid=0.5,
+                         cell_volume=1.0)
+    env = _dc.replace(env, rel_humid=jnp.asarray(1.004, jnp.float32))
+
+    s0 = 1.004
+    st2, s2 = condense_dynamic(st, ad, env, dt=10.0, n_sub=40)
+    gf = (np.asarray(st2.wet_diameter()) / np.asarray(st.dry_diameter(ad)))[:8]
+    assert (gf > 2.0).all()                      # droplet growth
+    assert float(s2) < s0                        # vapor depleted
+    # closure: condensed mass == vapor removed (structural in the scheme)
+    dm = float(((st2.vol[ad.i_water] - st.vol[ad.i_water])
+                * c.WATER_DENSITY * st.num).sum())
+    es = 610.78 * np.exp(17.27 * (280.0 - 273.15) / (280.0 - 35.85))
+    rv = c.UNIV_GAS_CONST / c.WATER_MOLEC_WEIGHT
+    m_vap_sat = es / (rv * 280.0) * 1.0
+    np.testing.assert_allclose(dm, (s0 - float(s2)) * m_vap_sat, rtol=5e-2)

@@ -103,7 +103,12 @@ class PartmcConfig:
     do_deposition: bool = True
     do_transport: bool = True
     do_gridded_output: bool = True
-    do_condensation: bool = False  # equilibrium water uptake each chem step
+    do_condensation: bool = False  # water uptake each chem step
+    condense_mode: str = "equilib" # "equilib" (condense_equilib_particles,
+                                   # the coupled-model default,
+                                   # wrf_pmc_driver.F90:1201) | "dynamic"
+                                   # (full per-particle growth ODE,
+                                   # PartMC condense.F90 equivalent)
     do_nucleation: bool = False    # H2SO4 nucleation (present-but-disabled in
                                    # the reference, wrf_pmc_driver.F90:175)
     allow_doubling: bool = True    # realized as weight-halving rebalance

@@ -151,7 +151,12 @@ def microphysics_step(aero: AeroState, gas, env: EnvState, aero_data: AeroData,
                 dt_chem, cosz, n_sub_gas=pc.n_sub_gas,
                 n_sub_astem=pc.n_sub_astem)
     if pc.do_condensation:
-        aero = equilib_water(aero, aero_data, env)
+        if pc.condense_mode == "dynamic":
+            from ..partmc.condense import condense_dynamic
+
+            aero, _s = condense_dynamic(aero, aero_data, env, dt_chem)
+        else:
+            aero = equilib_water(aero, aero_data, env)
     return aero, gas
 
 

@@ -102,6 +102,124 @@ def equilib_water(state: AeroState, aero_data: AeroData, env: EnvState,
     return dataclasses.replace(state, vol=vol)
 
 
+def _growth_coefficient(diam, temp, pressure):
+    """Maxwellian growth coefficient G [kg m-1 s-1] in
+    dm/dt = 4 pi r G (S - S_eq), with transition-regime (Fukuta-Walter)
+    corrected vapor diffusivity and thermal conductivity."""
+    from ... import constants as c
+
+    T = temp
+    # free diffusivity / conductivity
+    dv = 0.211e-4 * (T / 273.15) ** 1.94 * (101325.0 / pressure)
+    ka = 2.38e-2 * (T / 296.0) ** 0.83
+    r = jnp.maximum(diam, 1e-9) * 0.5
+    # transition corrections (accommodation alpha=1, thermal 0.96)
+    vbar = jnp.sqrt(8.0 * c.UNIV_GAS_CONST * T
+                    / (jnp.pi * c.WATER_MOLEC_WEIGHT))
+    dv_c = dv / (1.0 + 4.0 * dv / (vbar * r))
+    cbar = jnp.sqrt(8.0 * c.UNIV_GAS_CONST * T
+                    / (jnp.pi * c.AIR_MOLEC_WEIGHT))
+    rho_air = pressure / (c.R_D * T)
+    ka_c = ka / (1.0 + 4.0 * ka / (0.96 * rho_air * c.CP * cbar * r))
+
+    es = 610.78 * jnp.exp(17.27 * (T - 273.15) / (T - 35.85))
+    L = c.WATER_LATENT_HEAT
+    Rv = c.UNIV_GAS_CONST / c.WATER_MOLEC_WEIGHT
+    term_d = Rv * T / (dv_c * es)
+    term_k = (L / (ka_c * T)) * (L / (Rv * T) - 1.0)
+    return 1.0 / (term_d + term_k)
+
+
+def condense_dynamic(state: AeroState, aero_data: AeroData, env: EnvState,
+                     dt, n_sub: int = 5, n_newton: int = 3):
+    """Dynamic per-particle condensation/evaporation ODE — the reference
+    ``condense`` module's implicit kappa-Koehler growth solve (PartMC
+    condense.F90; optional in the coupled model, which defaults to the
+    equilibrium call at ``wrf_pmc_driver.F90:1201``).
+
+    TPU scheme: sub-stepped semi-implicit solve, every particle in every
+    cell in lockstep.  Per substep each particle's water mass is advanced by
+    Newton iterations on
+        f(m) = m - m^n - h * 4 pi r(m) G (S - S_eq(m)) = 0
+    with the ambient saturation S frozen, then S is updated from exact
+    vapor-mass conservation (the reference couples the same way, particle
+    loop inside an outer vapor/temperature update).
+
+    Returns (new_state, new_rel_humid [...]) — caller owns writing RH back
+    into its moisture field (latent heating is the dycore's job).
+    """
+    from ... import constants as c
+
+    temp = jnp.asarray(env.temp)[..., None]
+    pres = jnp.asarray(env.pressure)[..., None]
+    V = jnp.asarray(env.cell_volume)
+    alive = state.alive
+    d_dry = jnp.maximum(state.dry_diameter(aero_data), 1e-10)
+    kap = jnp.maximum(solute_kappa(state.vol, aero_data), 1e-12)
+    A = jnp.asarray(env.kelvin_A)[..., None]
+    v_dry = particle_volume(state.vol, dry=True, aero_data=aero_data)
+    rho_w = c.WATER_DENSITY
+
+    es = 610.78 * jnp.exp(17.27 * (jnp.asarray(env.temp) - 273.15)
+                          / (jnp.asarray(env.temp) - 35.85))
+    # vapor mass per cell [kg] at saturation ratio S=1
+    Rv = c.UNIV_GAS_CONST / c.WATER_MOLEC_WEIGHT
+    m_vap_sat = es / (Rv * jnp.asarray(env.temp)) * V
+
+    m_w = state.vol[..., aero_data.i_water, :] * rho_w        # [..., P]
+    S = jnp.clip(jnp.asarray(env.rel_humid), 0.0, 1.1)
+    h = dt / n_sub
+
+    def s_eq(m):
+        # dead slots have zero volume: clamp the wet diameter to the (already
+        # floored) dry diameter so A/d stays finite, and mask the result
+        d = jnp.maximum(vol_to_diam(v_dry + m / rho_w), d_dry)
+        return jnp.where(alive, kappa_rh_at_diam(d, d_dry, kap, A), 0.0)
+
+    def flux(m, S_cell):
+        d = jnp.maximum(vol_to_diam(v_dry + m / rho_w), d_dry)
+        G = _growth_coefficient(d, temp, pres)
+        return jnp.where(alive,
+                         2.0 * jnp.pi * d * G * (S_cell[..., None] - s_eq(m)),
+                         0.0)
+
+    m_scale = rho_w * v_dry                          # dry-mass scale [kg]
+
+    def substep(_, carry):
+        m, S_c = carry
+        m_n = m
+        # semi-implicit vapor projection (ASTEM-style): with the linearized
+        # flux k_i (S - S_eq,i), solve S implicitly over the substep so the
+        # vapor field cannot overshoot/oscillate no matter how strong the
+        # particle sink is relative to the vapor reservoir
+        d_n = vol_to_diam(v_dry + m_n / rho_w)
+        G_n = _growth_coefficient(d_n, temp, pres)
+        seq_n = s_eq(m_n)
+        k_i = jnp.where(alive, 2.0 * jnp.pi * d_n * G_n * state.num, 0.0) \
+            / jnp.maximum(m_vap_sat, 1e-30)[..., None]     # [..., P] 1/s
+        ksum = k_i.sum(-1)
+        S_imp = (S_c + h * (k_i * seq_n).sum(-1)) / (1.0 + h * ksum)
+        # damped Newton iterations with S frozen at the implicit value; the
+        # FD perturbation is on the particle's own mass scale so f32
+        # differences stay representable
+        for _ in range(n_newton):
+            f = m - m_n - h * flux(m, S_imp)
+            dm = jnp.maximum(jnp.abs(m), m_scale) * 1e-3
+            f2 = (m + dm) - m_n - h * flux(m + dm, S_imp)
+            dfdm = jnp.maximum((f2 - f) / dm, 1.0)   # damped (stable branch)
+            m = jnp.clip(m - f / dfdm, 0.0, None)
+        m = jnp.where(alive, m, 0.0)
+        # exact vapor balance: condensed water comes out of the vapor field
+        dm_tot = jnp.sum((m - m_n) * state.num * alive, axis=-1)   # [...] kg
+        S_c = jnp.maximum(S_c - dm_tot / jnp.maximum(m_vap_sat, 1e-30), 0.0)
+        return m, S_c
+
+    m_w, S = jax.lax.fori_loop(0, n_sub, substep, (m_w, S))
+    vol = state.vol.at[..., aero_data.i_water, :].set(
+        jnp.where(alive, m_w / rho_w, 0.0))
+    return dataclasses.replace(state, vol=vol), S
+
+
 def ccn_conc(state: AeroState, aero_data: AeroData, env: EnvState,
              supersats) -> jax.Array:
     """CCN number conc [# m-3] active at each supersaturation in ``supersats``
