@@ -3,8 +3,12 @@
 
 Headline: solve_em-equivalent grid-points/s/chip on a live-dynamics dycore
 step (the BASELINE.md north-star), with the coupled em_uniform reference
-problem (40x40x10 @ 2 km, 1000 particles/cell, ``test/em_uniform/namelist``)
-and estimated coagulation-event throughput as secondary metrics in "extra".
+problem (40x40x10 @ 2 km, ``test/em_uniform/namelist``) and estimated
+coagulation-event throughput as secondary metrics in "extra".
+
+Each measurement runs in its own subprocess: a failed (OOM) sweep point or a
+crashed TPU compile helper then cannot poison later, smaller attempts with
+allocator fragmentation — the next point starts from a clean device.
 
 The reference publishes no numbers (BASELINE.md), so vs_baseline is reported
 relative to the previous round's value when BENCH_r*.json is present, else 1.0.
@@ -13,19 +17,17 @@ relative to the previous round's value when BENCH_r*.json is present, else 1.0.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import glob
 import json
 import os
+import subprocess
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
 
 def _build_dycore(nx, ny, nz):
+    import jax
+
     from wrf_partmc_tpu.config import Config, DomainConfig, DynamicsConfig
     from wrf_partmc_tpu.grid import make_grid
     from wrf_partmc_tpu.models.dycore.ideal import init_warm_bubble
@@ -48,6 +50,8 @@ def _build_dycore(nx, ny, nz):
 
 
 def _build_coupled(nx, ny, nz, n_part, cap):
+    import jax
+
     import __graft_entry__ as ge
 
     step_fn, cs = ge._build(nx=nx, ny=ny, nz=nz, n_part=n_part, cap=cap,
@@ -63,6 +67,8 @@ def _build_coupled(nx, ny, nz, n_part, cap):
 
 
 def _time_run(run, state, n_steps, n_rep=2):
+    import jax
+
     f = jax.jit(lambda s: run(s, n_steps))
     out = jax.block_until_ready(f(state))      # compile
     best = float("inf")
@@ -86,56 +92,117 @@ def _prev_value():
     return vals[-1] if vals else None
 
 
+# ---------------------------------------------------------------- workers
+
+def worker_dycore(args):
+    import jax
+
+    nx, ny, nz, n = args.nx, args.ny, args.nz, args.steps
+    run, st = _build_dycore(nx, ny, nz)
+    t, _ = _time_run(run, st, n)
+    print(json.dumps({"t": t, "device": str(jax.devices()[0])}))
+
+
+def worker_coupled(args):
+    import jax
+    import jax.numpy as jnp
+
+    run, st = _build_coupled(args.nx, args.ny, args.nz, args.n_part, args.cap)
+    t, out = _time_run(run, st, args.steps)
+    print(json.dumps({
+        "t": t,
+        "alive": float(jnp.sum(out.aero.n_alive())),
+        "cap": int(st.aero.num.shape[-1]),
+    }))
+
+
+def _spawn(worker, extra, timeout=1200, use_cpu=False):
+    """Run one measurement in a clean subprocess; return parsed JSON or None."""
+    cmd = [sys.executable, os.path.abspath(__file__), "--worker", worker] + extra
+    env = dict(os.environ)
+    if use_cpu:
+        env["WPMC_BENCH_CPU"] = "1"
+    try:
+        p = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=timeout, env=env,
+                           cwd=os.path.dirname(os.path.abspath(__file__)) or ".")
+    except subprocess.TimeoutExpired:
+        return None
+    for line in reversed(p.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except Exception:
+                pass
+    return None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="full", choices=["tiny", "full"])
+    ap.add_argument("--worker", default=None)
+    ap.add_argument("--nx", type=int, default=0)
+    ap.add_argument("--ny", type=int, default=0)
+    ap.add_argument("--nz", type=int, default=0)
+    ap.add_argument("--steps", type=int, default=0)
+    ap.add_argument("--n_part", type=int, default=0)
+    ap.add_argument("--cap", type=int, default=0)
     args = ap.parse_args()
 
+    if args.worker:
+        if os.environ.get("WPMC_BENCH_CPU"):
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        if args.worker == "dycore":
+            worker_dycore(args)
+        else:
+            worker_coupled(args)
+        return
+
+    use_cpu = args.preset == "tiny"
     if args.preset == "tiny":
-        jax.config.update("jax_platforms", "cpu")
         dyc_dims = (32, 32, 8)
-        cpl_dims = (12, 12, 4, 32, 96)
+        cpl = (12, 12, 4, 32, 96)
         n_dyc, n_cpl = 5, 5
     else:
         dyc_dims = (128, 128, 40)
-        cpl_dims = (40, 40, 10, 1000, 1280)   # em_uniform reference problem
+        cpl = (40, 40, 10, 1000, 1280)   # em_uniform reference problem
         n_dyc, n_cpl = 10, 10
 
-    dev = jax.devices()[0]
-
-    # --- solve_em-equivalent dycore throughput ---
-    run_d, st_d = _build_dycore(*dyc_dims)
-    t_d, _ = _time_run(run_d, st_d, n_dyc)
+    # --- solve_em-equivalent dycore throughput (own subprocess) ---
+    r = _spawn("dycore", ["--nx", str(dyc_dims[0]), "--ny", str(dyc_dims[1]),
+                          "--nz", str(dyc_dims[2]), "--steps", str(n_dyc)],
+               use_cpu=use_cpu)
+    if r is None:
+        raise RuntimeError("dycore benchmark failed")
+    t_d, dev = r["t"], r.get("device", "?")
     gp = dyc_dims[0] * dyc_dims[1] * dyc_dims[2]
     gps = gp * n_dyc / t_d
 
-    # --- coupled em_uniform problem (falls back down the reference's
-    # particle-count sweep {1000, 500, 200, 100} if HBM is short) ---
-    nx, ny, nz, n_part, cap = cpl_dims
-    last_err = None
-    for n_try in (n_part, n_part // 2, n_part // 5, n_part // 10):
-        try:
-            run_c, st_c = _build_coupled(nx, ny, nz, max(n_try, 8),
-                                         max(int(cap * n_try / n_part), 16))
-            t_c, out_c = _time_run(run_c, st_c, n_cpl)
-            n_part = max(n_try, 8)
+    # --- coupled em_uniform problem: walk the reference's particle-count
+    # sweep {1000, 500, 200, 100}/cell until one fits the chip's HBM ---
+    nx, ny, nz, n_part0, cap0 = cpl
+    rc = None
+    for n_try in (n_part0, n_part0 // 2, n_part0 // 5, n_part0 // 10):
+        n_p = max(n_try, 8)
+        cp = max(int(cap0 * n_try / n_part0), 16)
+        rc = _spawn("coupled", ["--nx", str(nx), "--ny", str(ny),
+                                "--nz", str(nz), "--steps", str(n_cpl),
+                                "--n_part", str(n_p), "--cap", str(cp)],
+                    use_cpu=use_cpu)
+        if rc is not None:
+            n_part = n_p
             break
-        except Exception as e:  # OOM on small-HBM chips -> next sweep point
-            last_err = e
-            msg = str(e)
-            if not any(s in msg for s in ("RESOURCE_EXHAUSTED", "ResourceExhausted",
-                                          "Ran out of memory", "out of memory")):
-                raise
-    else:
-        raise last_err
+    if rc is None:
+        raise RuntimeError("all coupled sweep points failed")
+    t_c = rc["t"]
     cells = nx * ny * nz
     cell_steps = cells * n_cpl / t_c
-    parts = float(jnp.sum(out_c.aero.n_alive()))
+    parts = rc["alive"]
     part_steps = parts * n_cpl / t_c
-    # coagulation candidate-pair evaluations per second (chem steps only;
-    # chem_dt == 6 dt in the entry config -> every step here counts pairs/2)
-    cap_used = st_c.aero.num.shape[-1]
-    coag_pairs = cells * (cap_used // 2) * n_cpl / t_c
+    coag_pairs = cells * (rc["cap"] // 2) * n_cpl / t_c
 
     prev = _prev_value()
     result = {
@@ -144,7 +211,7 @@ def main():
         "unit": "grid-points/s",
         "vs_baseline": round(gps / prev, 3) if prev else 1.0,
         "extra": {
-            "device": str(dev),
+            "device": dev,
             "dycore_steps_per_s": round(n_dyc / t_d, 3),
             "coupled_em_uniform_cell_steps_per_s": round(cell_steps, 1),
             "coupled_num_particles_per_cell": n_part,

@@ -93,3 +93,107 @@ def test_kessler_conserves_water_and_heats():
     tw0 = float((np.asarray(s0.moist).sum(axis=0) * dzc).sum())
     tw1 = float((np.asarray(sf.moist).sum(axis=0) * dzc).sum())
     assert tw1 <= tw0 * 1.02
+
+
+# ------------- surface layer (sfclay) + YSU-class PBL diagnosis -----------
+
+def test_surface_layer_neutral_log_law():
+    """Zero temperature contrast: ustar must match the neutral log law."""
+    from wrf_partmc_tpu import constants as c
+    from wrf_partmc_tpu.models.physics.surface import surface_layer
+
+    u1 = jnp.full((4, 4), 8.0)
+    v1 = jnp.zeros((4, 4))
+    th = jnp.full((4, 4), 300.0)
+    out = surface_layer(u1, v1, th, th, z1=25.0, z0=0.1)
+    expect = c.KARMAN * 8.0 / np.log(25.0 / 0.1)
+    np.testing.assert_allclose(np.asarray(out["ustar"]), expect, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out["rmol"]), 0.0, atol=1e-6)
+
+
+def test_surface_layer_stability_regimes():
+    """Unstable (warm surface) boosts ustar and gives L<0; stable (cold
+    surface) suppresses it and gives L>0."""
+    from wrf_partmc_tpu.models.physics.surface import surface_layer
+
+    u1 = jnp.full((2, 2), 5.0)
+    v1 = jnp.zeros((2, 2))
+    th1 = jnp.full((2, 2), 300.0)
+    neutral = surface_layer(u1, v1, th1, th1, 25.0)
+    unstable = surface_layer(u1, v1, th1, th1 + 3.0, 25.0)   # thsfc warmer
+    stable = surface_layer(u1, v1, th1, th1 - 3.0, 25.0)
+    assert float(unstable["rmol"].mean()) < -1e-4
+    assert float(stable["rmol"].mean()) > 1e-4
+    assert float(unstable["ustar"].mean()) > float(neutral["ustar"].mean())
+    assert float(stable["ustar"].mean()) < float(neutral["ustar"].mean())
+    # resistances: unstable mixing lowers r_a
+    assert float(unstable["ra"].mean()) < float(stable["ra"].mean())
+
+
+def test_ysu_exch_profile_shape():
+    """K=0 at the surface, maximum inside the PBL, floor above."""
+    from wrf_partmc_tpu.config import Config, DomainConfig
+    from wrf_partmc_tpu.grid import make_grid
+    from wrf_partmc_tpu.models.physics.surface import ysu_exch_h
+
+    cfg = Config(domain=DomainConfig(nx=4, ny=4, nz=10, ztop=2000.0))
+    grid = make_grid(cfg)
+    us = jnp.full((4, 4), 0.4)
+    rmol = jnp.zeros((4, 4))
+    h = jnp.full((4, 4), 1000.0)
+    k = np.asarray(ysu_exch_h(grid, us, rmol, h))
+    assert k.shape == (11, 4, 4)
+    kmid = k[:, 2, 2]
+    imax = kmid.argmax()
+    zmax = np.asarray(grid.z_full)[imax]
+    assert 100.0 < zmax < 800.0           # peak in the lower-middle PBL
+    assert kmid[-1] <= 0.11               # free-atmosphere floor
+    # unstable profile mixes harder than stable
+    k_un = np.asarray(ysu_exch_h(grid, us, jnp.full((4, 4), -0.05), h))
+    k_st = np.asarray(ysu_exch_h(grid, us, jnp.full((4, 4), 0.05), h))
+    assert k_un[3, 2, 2] > k_st[3, 2, 2]
+
+
+def test_coupled_bl_physics_diagnosed_mixing():
+    """bl_physics=1 end-to-end: coupled_step runs with flow-diagnosed
+    surface layer + exch_h (prescribed argument ignored)."""
+    import dataclasses
+
+    from wrf_partmc_tpu.config import (DomainConfig, PartmcConfig,
+                                       uniform_test_config)
+    from wrf_partmc_tpu.grid import make_grid
+    from wrf_partmc_tpu.models.coupled.driver import coupled_step, init_coupled
+    from wrf_partmc_tpu.models.coupled.init import populate_from_dist
+    from wrf_partmc_tpu.models.dycore.ideal import init_uniform
+    from wrf_partmc_tpu.models.partmc.aero_data import make_aero_data
+    from wrf_partmc_tpu.models.partmc.dist import make_mode
+    from wrf_partmc_tpu.models.partmc.gas_data import make_gas_data
+    from wrf_partmc_tpu.models.partmc.scenario import constant_scenario
+    from wrf_partmc_tpu.utils import rng
+
+    ad = make_aero_data()
+    gd = make_gas_data()
+    cfg = uniform_test_config().replace(
+        domain=DomainConfig(nx=6, ny=6, nz=4, dx=2000.0, dy=2000.0,
+                            ztop=2000.0),
+        partmc=PartmcConfig(num_particles=8, max_particles=24,
+                            n_emit_slots=4, do_coagulation=False,
+                            do_emission=False, do_deposition=True,
+                            do_transport=True))
+    cfg = cfg.replace(dynamics=dataclasses.replace(
+        cfg.dynamics, bl_physics=1, constant_velocity=False))
+    grid = make_grid(cfg)
+    vf = np.zeros(ad.n_spec)
+    vf[0] = 1.0
+    scn = constant_scenario(ad, gd.n_spec, make_mode(1e5, 5e-8, 1.8, vf))
+    dyn = init_uniform(cfg, grid, 5.0, 2.0)
+    cs = init_coupled(cfg, grid, ad, gd, dyn)
+    aero = populate_from_dist(ad, cfg, grid, make_mode(1e9, 1e-7, 1.6, vf),
+                              jax.random.key(0))
+    cs = dataclasses.replace(cs, aero=aero)
+    exch = jnp.zeros((grid.nz + 1, grid.ny, grid.nx), jnp.float32)
+    step = jax.jit(lambda s: coupled_step(s, grid, cfg, ad, gd, scn, exch,
+                                          rng.base_key(0)))
+    out = step(step(cs))
+    assert bool(jnp.isfinite(out.aero.num).all())
+    assert bool(jnp.isfinite(out.dyn.theta_p).all())

@@ -63,6 +63,13 @@ class DynamicsConfig:
     ra_physics: int = 0              # 0=off, 1=Dudhia-class SW + gray LW
                                      # (radiation_driver equivalent; aerosol
                                      # direct effect when partmc.do_optical)
+    bl_physics: int = 0              # 0=prescribed exch_h argument,
+                                     # 1=MO surface layer + YSU-class K
+                                     # diagnosed from the flow every step
+                                     # (sfclay + bl_ysu equivalents)
+    sfc_z0: float = 0.1              # roughness length [m] (znt)
+    sfc_heat_excess: float = 1.0     # idealized daytime skin-theta excess [K]
+                                     # (scaled by cos zenith; slab LSM later)
 
 
 @dataclass(frozen=True)

@@ -201,9 +201,32 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
 
     env = make_env(dyn2, grid, cfg, cs.step)
     aero = cs.aero
+    t = cs.step.astype(jnp.float32) * dt
+
+    # surface layer + PBL diagnosis (sfclay + bl_ysu equivalents): replaces
+    # the prescribed exch_h/ustar with flow-diagnosed fields every step
+    if cfg.dynamics.bl_physics == 1:
+        from ...ops.stencil import AXIS_X, AXIS_Y, shift
+        from ..partmc.cbmz import cos_zenith
+        from ..physics.surface import pbl_height, surface_layer, ysu_exch_h
+
+        dom = cfg.domain
+        utc = dom.gmt * 3600.0 + t
+        cosz = cos_zenith(dom.lat0, dom.lon0,
+                          dom.julian_day + utc // 86400.0, utc % 86400.0)
+        theta = grid.t_base.reshape(-1, 1, 1) + dyn2.theta_p
+        u1 = 0.5 * (dyn2.u[0] + shift(dyn2.u[0], 1, AXIS_X))
+        v1 = 0.5 * (dyn2.v[0] + shift(dyn2.v[0], 1, AXIS_Y))
+        thsfc = theta[0] + cfg.dynamics.sfc_heat_excess * jnp.maximum(
+            cosz, -0.25)
+        sfc = surface_layer(u1, v1, theta[0], thsfc, grid.z_half[0],
+                            z0=cfg.dynamics.sfc_z0)
+        h_pbl = pbl_height(theta, grid.z_half)
+        exch_h = ysu_exch_h(grid, sfc["ustar"], sfc["rmol"], h_pbl)
+        env = dataclasses.replace(
+            env, ustar=jnp.broadcast_to(sfc["ustar"], env.temp.shape))
 
     # microphysics on the chem_dt cadence
-    t = cs.step.astype(jnp.float32) * dt
     if (pc.do_coagulation or pc.do_emission or pc.do_condensation
             or pc.do_nucleation or pc.do_mosaic or pc.seasalt_param > 0):
         do_chem = (cs.step % m_chem) == 0
