@@ -140,3 +140,39 @@ def test_clock_alarms():
             fires.append(ck.t)
         ck.advance()
     assert fires == [0.0, 30.0, 60.0, 90.0]
+
+
+# ----------------- config cross-validation (check_a_mundo) ----------------
+
+def test_validate_config_accepts_defaults():
+    from wrf_partmc_tpu.config import Config, validate_config
+
+    validate_config(Config())
+    from wrf_partmc_tpu.config import uniform_test_config
+    validate_config(uniform_test_config())
+
+
+def test_validate_config_catches_bad_combos():
+    import dataclasses
+
+    import pytest
+
+    from wrf_partmc_tpu.config import Config, validate_config
+
+    cfg = Config()
+    bad = [
+        cfg.replace(partmc=dataclasses.replace(cfg.partmc, max_particles=4,
+                                               num_particles=8)),
+        cfg.replace(partmc=dataclasses.replace(cfg.partmc,
+                                               partmc_chem_dt=25.0)),
+        cfg.replace(dynamics=dataclasses.replace(cfg.dynamics,
+                                                 chem_adv_opt="weno9")),
+        cfg.replace(boundary=dataclasses.replace(cfg.boundary, open_xs=True,
+                                                 periodic_x=True)),
+        cfg.replace(partmc=dataclasses.replace(cfg.partmc, do_mosaic=True,
+                                               chem_mech="cbmz")),
+        cfg.replace(n_class=0),
+    ]
+    for c in bad:
+        with pytest.raises(ValueError):
+            validate_config(c)

@@ -132,3 +132,33 @@ def test_energy_bounded_with_random_noise():
     kef = float(jnp.sum(sf.u ** 2 + sf.v ** 2 + sf.w[:-1] ** 2))
     assert np.isfinite(kef)
     assert kef < 10.0 * ke0
+
+
+def test_rayleigh_damping_suppresses_top_w():
+    """damp_opt: upper-level implicit Rayleigh damping reduces |w| in the
+    damping layer relative to the undamped run (module_damping_em)."""
+    import dataclasses
+
+    from wrf_partmc_tpu.config import Config, DomainConfig, DynamicsConfig
+    from wrf_partmc_tpu.grid import make_grid
+    from wrf_partmc_tpu.models.dycore.ideal import init_warm_bubble
+    from wrf_partmc_tpu.models.dycore.solve import solve_step
+
+    def run(damp):
+        cfg = Config(domain=DomainConfig(nx=16, ny=16, nz=12, dx=2000.0,
+                                         dy=2000.0, ztop=12000.0),
+                     dynamics=DynamicsConfig(dt=8.0, n_sound=4,
+                                             damp_opt=3 if damp else 0,
+                                             zdamp=4000.0, dampcoef=0.2))
+        grid = make_grid(cfg)
+        s = init_warm_bubble(cfg, grid)
+        step = jax.jit(lambda x: solve_step(x, grid, cfg)[0])
+        for _ in range(20):
+            s = step(s)
+        return np.asarray(s.w)
+
+    w_free = run(False)
+    w_damp = run(True)
+    # top-third w amplitude reduced by the sponge
+    assert np.abs(w_damp[-4:]).max() < np.abs(w_free[-4:]).max()
+    assert np.isfinite(w_damp).all()

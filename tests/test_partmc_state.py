@@ -150,3 +150,52 @@ def test_solute_kappa_mixing_rule():
     np.testing.assert_allclose(kap[0], 0.65, rtol=1e-5)
     np.testing.assert_allclose(kap[1], 0.0, atol=1e-7)
     np.testing.assert_allclose(kap[2], 0.325, rtol=1e-5)
+
+
+def test_sampled_mode_reproduces_histogram():
+    """AERO_MODE_TYPE_SAMPLED: sampling a binned dist reproduces the bin
+    number concentrations (driver :1855 sampled-mode parity)."""
+    from wrf_partmc_tpu.models.partmc.dist import from_sampled, sample_particles
+
+    edges = np.array([1e-8, 3e-8, 1e-7, 3e-7, 1e-6], np.float32)
+    counts = np.array([1e9, 3e9, 2e9, 5e8], np.float32)
+    vf = np.zeros(AD.n_spec, np.float32)
+    vf[0] = 1.0
+    dist = from_sampled(edges, counts, vf)
+    assert dist.n_mode == 4
+    vol, num, src, wcl = sample_particles(jax.random.key(3), dist, AD,
+                                          4096, 1.0)
+    d = np.asarray((6.0 / np.pi * vol.sum(-2)) ** (1.0 / 3.0))
+    n = np.asarray(num)
+    hist = [n[(d >= edges[i]) & (d < edges[i + 1])].sum() for i in range(4)]
+    np.testing.assert_allclose(hist, counts, rtol=0.08)
+    np.testing.assert_allclose(n.sum(), counts.sum(), rtol=1e-4)
+
+
+def test_scenario_linear_time_interp():
+    """Emission intensities interpolate linearly between time slabs
+    (aero_dist_interp_1d semantics)."""
+    import dataclasses as _dc
+
+    from wrf_partmc_tpu.models.partmc.dist import make_mode
+    from wrf_partmc_tpu.models.partmc.scenario import (constant_scenario,
+                                                       dist_at_time,
+                                                       update_gas_state)
+
+    vf = np.zeros(AD.n_spec, np.float32)
+    vf[0] = 1.0
+    m = make_mode(1e9, 1e-7, 1.6, vf)
+    scn = constant_scenario(AD, 4, m)
+    two = jax.tree.map(lambda a: jnp.concatenate([a, a], 0), scn.emit_dist)
+    two = _dc.replace(two, num_conc=two.num_conc.at[1].set(3e9))
+    scn = _dc.replace(scn, emit_times=jnp.asarray([0.0, 100.0]),
+                      emit_dist=two,
+                      gas_emit_rate=jnp.asarray([[1.0, 0, 0, 0],
+                                                 [3.0, 0, 0, 0]], jnp.float32))
+    np.testing.assert_allclose(float(dist_at_time(scn, 0.0).num_conc[0]), 1e9)
+    np.testing.assert_allclose(float(dist_at_time(scn, 50.0).num_conc[0]),
+                               2e9, rtol=1e-6)
+    np.testing.assert_allclose(float(dist_at_time(scn, 1000.0).num_conc[0]),
+                               3e9, rtol=1e-6)
+    g = update_gas_state(scn, jnp.zeros(4), 50.0, 1.0)
+    np.testing.assert_allclose(float(g[0]), 2.0, rtol=1e-6)

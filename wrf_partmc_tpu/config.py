@@ -166,6 +166,61 @@ def _replace_sub(cfg: Config, group: str, **kw) -> Config:
     return dataclasses.replace(cfg, **{group: dataclasses.replace(getattr(cfg, group), **kw)})
 
 
+def validate_config(cfg: Config) -> Config:
+    """Cross-option validation at startup — the ``module_check_a_mundo``
+    equivalent (``share/module_check_a_mundo.F``).  Raises ValueError with
+    every problem found; returns cfg unchanged when clean."""
+    errs = []
+    d, dy, b, p = cfg.domain, cfg.dynamics, cfg.boundary, cfg.partmc
+    if d.nx < 3 or d.ny < 3 or d.nz < 2:
+        errs.append(f"domain too small: {d.nx}x{d.ny}x{d.nz}")
+    if dy.dt <= 0:
+        errs.append("dynamics.dt must be positive")
+    if dy.h_adv_order not in (1, 2, 3, 4, 5, 6) or dy.v_adv_order not in (1, 2, 3):
+        errs.append(f"unsupported advection orders h={dy.h_adv_order} v={dy.v_adv_order}")
+    if dy.chem_adv_opt not in ("pd", "mono") or dy.moist_adv_opt not in ("pd", "mono"):
+        errs.append("chem/moist_adv_opt must be 'pd' or 'mono'")
+    if not dy.constant_velocity and dy.n_sound < 1:
+        errs.append("live dynamics needs n_sound >= 1")
+    if dy.damp_opt and not (0.0 < dy.zdamp <= d.ztop):
+        errs.append(f"zdamp {dy.zdamp} outside (0, ztop={d.ztop}]")
+    # CFL guards (uniform-case scale: assume |u| <= ~50 m/s)
+    if dy.dt * 50.0 > min(d.dx, d.dy):
+        errs.append(f"dt={dy.dt} likely violates horizontal CFL at dx={d.dx}")
+    if p.max_particles < p.num_particles:
+        errs.append(f"max_particles {p.max_particles} < num_particles {p.num_particles}")
+    if p.n_emit_slots > p.max_particles:
+        errs.append("n_emit_slots exceeds particle capacity")
+    if p.partmc_chem_dt < dy.dt:
+        errs.append(f"partmc_chem_dt {p.partmc_chem_dt} < dt {dy.dt}")
+    elif abs(p.partmc_chem_dt / dy.dt - round(p.partmc_chem_dt / dy.dt)) > 1e-6:
+        errs.append("partmc_chem_dt must be an integer multiple of dt "
+                    "(chem-step cadence, wrf_pmc_driver.F90:183)")
+    if p.chem_mech not in ("cbmz", "simple"):
+        errs.append(f"unknown chem_mech {p.chem_mech!r}")
+    if p.condense_mode not in ("equilib", "dynamic"):
+        errs.append(f"unknown condense_mode {p.condense_mode!r}")
+    if p.do_mosaic and p.chem_mech == "cbmz" and cfg.n_chem_gas < 77:
+        errs.append("do_mosaic with chem_mech='cbmz' needs the 77-species "
+                    "gas registry (n_chem_gas=77, make_gas_data_cbmz)")
+    if p.do_optical and not (dy.ra_physics or p.do_gridded_output):
+        errs.append("do_optical has no consumer (enable ra_physics or "
+                    "gridded output)")
+    if p.seasalt_param not in (0, 1, 2):
+        errs.append(f"seasalt_param {p.seasalt_param} not in 0/1/2")
+    if p.num_bins < 2 or p.bin_d_min >= p.bin_d_max:
+        errs.append("bad diagnostic bin grid")
+    if (b.open_xs or b.open_xe) and b.periodic_x:
+        errs.append("x boundary both periodic and open")
+    if (b.open_ys or b.open_ye) and b.periodic_y:
+        errs.append("y boundary both periodic and open")
+    if cfg.n_class < 1 or cfg.n_class > 40:
+        errs.append(f"n_class {cfg.n_class} outside 1..40 (NUM_CONC_a01-40)")
+    if errs:
+        raise ValueError("config validation failed:\n  - " + "\n  - ".join(errs))
+    return cfg
+
+
 def uniform_test_config(**overrides) -> Config:
     """em_uniform analogue: 40x40x10 @ 2 km, dt=10 s, periodic, transport-only
     (``test/em_uniform/namelist.input``). Sized down by default for tests."""

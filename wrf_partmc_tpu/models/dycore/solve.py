@@ -249,6 +249,17 @@ def dyn_step(state: DycoreState, grid: Grid, cfg: Config) -> DycoreState:
     s1 = stage(state, 1.0 / 3.0, 1)
     s2 = stage(s1, 0.5, max(1, ns // 2))
     s3 = stage(s2, 1.0, ns)
+
+    # upper-level implicit Rayleigh damping on w (damp_opt=3,
+    # ``dyn_em/module_damping_em.F`` / Klemp et al. 2008): tau(z) ramps as
+    # sin^2 over the top zdamp meters; w <- w / (1 + dt tau)
+    if dyn.damp_opt:
+        ztop = grid.z_full[-1]
+        zd = jnp.asarray(grid.z_full).reshape(-1, 1, 1)
+        frac = jnp.clip((zd - (ztop - dyn.zdamp)) / max(dyn.zdamp, 1.0),
+                        0.0, 1.0)
+        tau = dyn.dampcoef * jnp.sin(0.5 * jnp.pi * frac) ** 2
+        s3 = replace(s3, w=s3.w / (1.0 + dt * tau))
     return s3
 
 

@@ -56,6 +56,33 @@ def make_mode(num_conc, gmd, gsd, vol_frac, source=0, w_class=0) -> AeroDist:
                     w_class=jnp.asarray([w_class], jnp.int32))
 
 
+def from_sampled(diam_edges, num_conc, vol_frac, source=0, w_class=0) -> AeroDist:
+    """AERO_MODE_TYPE_SAMPLED (``wrf_pmc_driver.F90:1855``): a binned
+    (histogram) size distribution.
+
+    TPU realization: each bin becomes one narrow "mode" — log-uniform within
+    the bin is represented by a log-normal with the same mean and variance in
+    ln D (sigma_ln = bin_width / sqrt(12)), so the stacked-mode sampling and
+    analytic-density machinery apply unchanged.
+
+    diam_edges: [B+1] bin edges [m]; num_conc: [B] number conc per bin
+    [# m-3]; vol_frac: [S] or [B, S].
+    """
+    e = jnp.asarray(diam_edges, jnp.float32)
+    nc = jnp.asarray(num_conc, jnp.float32)
+    B = nc.shape[-1]
+    gmd = jnp.sqrt(e[:-1] * e[1:])
+    sig = jnp.log(e[1:] / e[:-1]) / jnp.sqrt(12.0)
+    vf = jnp.asarray(vol_frac, jnp.float32)
+    if vf.ndim == 1:
+        vf = jnp.broadcast_to(vf, (B, vf.shape[0]))
+    vf = vf / jnp.maximum(jnp.sum(vf, axis=-1, keepdims=True), 1e-30)
+    mk = lambda v, d: jnp.full((B,), v, d)
+    return AeroDist(num_conc=nc, geom_mean_diam=gmd,
+                    log_geom_std=jnp.maximum(sig, 1e-3), vol_frac=vf,
+                    source=mk(source, jnp.int32), w_class=mk(w_class, jnp.int32))
+
+
 def concat_dists(dists) -> AeroDist:
     cat = lambda f: jnp.concatenate([getattr(d, f) for d in dists], axis=-1)
     return AeroDist(num_conc=cat("num_conc"), geom_mean_diam=cat("geom_mean_diam"),

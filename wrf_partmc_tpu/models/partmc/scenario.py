@@ -60,17 +60,34 @@ def _time_index(times: jax.Array, t) -> jax.Array:
     return jnp.clip(jnp.searchsorted(times, t, side="right") - 1, 0, times.shape[0] - 1)
 
 
+def _time_weight(times: jax.Array, t):
+    """(i, i+1, w): linear interpolation weights, clamped at the ends
+    (aero_dist_interp_1d semantics, ``wrf_pmc_trans_aero.F90:834-838``)."""
+    i = _time_index(times, t)
+    j = jnp.minimum(i + 1, times.shape[0] - 1)
+    span = jnp.maximum(times[j] - times[i], 1e-30)
+    w = jnp.clip((jnp.asarray(t, jnp.float32) - times[i]) / span, 0.0, 1.0)
+    return i, j, jnp.where(j == i, 0.0, w)
+
+
 def dist_at_time(scn: Scenario, t) -> AeroDist:
-    i = _time_index(scn.emit_times, t)
-    return jax.tree.map(lambda a: a[i], scn.emit_dist)
+    """Emission dist at time t: mode *intensities* (num_conc) linearly
+    interpolated between time slabs; shape parameters from the lower slab."""
+    i, j, w = _time_weight(scn.emit_times, t)
+    d_i = jax.tree.map(lambda a: a[i], scn.emit_dist)
+    nc_j = scn.emit_dist.num_conc[j]
+    return dataclasses.replace(
+        d_i, num_conc=(1.0 - w) * d_i.num_conc + w * nc_j)
 
 
 def update_gas_state(scn: Scenario, gas, t, dt) -> jax.Array:
     """Gas emission + first-order dilution toward background
-    (scenario_update_gas_state, driver :202-204)."""
-    i = _time_index(scn.emit_times, t)
+    (scenario_update_gas_state, driver :202-204); emission rates linearly
+    interpolated in time."""
+    i, j, w = _time_weight(scn.emit_times, t)
+    rate = (1.0 - w) * scn.gas_emit_rate[i] + w * scn.gas_emit_rate[j]
     lam = scn.dilution_rate if scn.dilution_rate.ndim == 0 else scn.dilution_rate[i]
-    g = gas + dt * scn.gas_emit_rate[i]
+    g = gas + dt * rate
     return g + (1.0 - jnp.exp(-lam * dt)) * (scn.back_gas - g)
 
 

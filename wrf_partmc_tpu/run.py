@@ -143,6 +143,9 @@ def main(argv=None):
     if args.steps:
         cfg = cfg.replace(time_control=dataclasses.replace(
             cfg.time_control, run_seconds=args.steps * cfg.dynamics.dt))
+    from .config import validate_config
+
+    validate_config(cfg)          # check_a_mundo at startup
     cs, _ = run(cfg, args.case, args.outdir, args.seed, args.restart)
     print(json.dumps({"steps": int(cs.step),
                       "total_particles": float(cs.aero.total_num().sum())}))
