@@ -169,3 +169,79 @@ def test_rebucket_conserves_and_places():
     assert float(out2.n_alive().sum()) == aero.capacity  # all elsewhere empty
     np.testing.assert_allclose(float(out2.total_num().sum()),
                                float(aero.total_num().sum()), rtol=1e-4)
+
+
+def test_sharded_transport_matches_global_statistics(mesh8):
+    """transport_step_sharded on the 2x4 virtual mesh: total represented
+    number conserved (periodic), particle cloud tracks the same advection as
+    the single-device global-sort path (different RNG stream -> statistical,
+    not bitwise, comparison — the reference has the same property across MPI
+    decompositions, SURVEY 4.4)."""
+    from wrf_partmc_tpu.models.coupled.driver import partmc_to_wrf
+    from wrf_partmc_tpu.models.coupled.transport import (
+        transport_step_sharded)
+    from wrf_partmc_tpu.models.dycore.solve import solve_step
+
+    cfg = _cfg(nx=16, ny=16, nz=4, n_part=16, cap=48)
+    grid = make_grid(cfg)
+    dyn = init_uniform(cfg, grid, u0=10.0, v0=5.0, blob_conc=1e9)
+    cs = init_coupled(cfg, grid, AD, GD, dyn)
+    aero = populate_from_number_field(AD, cfg, grid, dyn.num_conc[0],
+                                      jax.random.key(0))
+    dyn2, diag = jax.jit(lambda d: solve_step(d, grid, cfg))(
+        partmc_to_wrf(dataclasses.replace(cs, aero=aero), grid, cfg))
+    exch = jnp.zeros((grid.nz + 1, grid.ny, grid.nx), jnp.float32)
+
+    n0 = float(aero.total_num().sum())
+
+    step_g = jax.jit(lambda a, k: transport_step(
+        a, diag.probs, diag.xkhh, exch, grid, cfg, cfg.dynamics.dt, k))
+    step_s = jax.jit(lambda a, k: transport_step_sharded(
+        a, diag.probs, diag.xkhh, exch, grid, cfg, cfg.dynamics.dt, k, mesh8))
+    a_g = aero
+    a_s = aero
+    for i in range(4):
+        key = jax.random.key(100 + i)
+        a_g = step_g(a_g, key)
+        a_s = step_s(a_s, key)
+    ng = float(a_g.total_num().sum())
+    ns = float(a_s.total_num().sum())
+    np.testing.assert_allclose(ng, n0, rtol=1e-3)
+    np.testing.assert_allclose(ns, n0, rtol=1e-3)
+    # same transported cloud, statistically: compare column sums
+    cg = np.asarray(a_g.total_num()).sum(axis=0)
+    cs_ = np.asarray(a_s.total_num()).sum(axis=0)
+    corr = np.corrcoef(cg.ravel(), cs_.ravel())[0, 1]
+    assert corr > 0.95, corr
+
+
+def test_sharded_transport_open_boundary_outflow(mesh8):
+    """Open boundaries: particles advected across the global edge leave the
+    domain (outflow-discard, wrf_pmc_trans_aero.F90:811-955), including
+    across shard boundaries."""
+    from wrf_partmc_tpu.models.coupled.driver import partmc_to_wrf
+    from wrf_partmc_tpu.models.coupled.transport import transport_step_sharded
+    from wrf_partmc_tpu.models.dycore.solve import solve_step
+
+    cfg = _cfg(nx=16, ny=16, nz=4, n_part=16, cap=48)
+    cfg = cfg.replace(boundary=dataclasses.replace(
+        cfg.boundary, periodic_x=False, periodic_y=False,
+        open_xs=True, open_xe=True, open_ys=True, open_ye=True))
+    grid = make_grid(cfg)
+    dyn = init_uniform(cfg, grid, u0=10.0, v0=0.0, blob_conc=1e9)
+    # uniform particle field: the east-edge cells outflow from step one
+    conc = jnp.full((grid.nz, grid.ny, grid.nx), 1e9)
+    cs = init_coupled(cfg, grid, AD, GD, dyn)
+    aero = populate_from_number_field(AD, cfg, grid, conc, jax.random.key(0))
+    dyn2, diag = jax.jit(lambda d: solve_step(d, grid, cfg))(
+        partmc_to_wrf(dataclasses.replace(cs, aero=aero), grid, cfg))
+    exch = jnp.zeros((grid.nz + 1, grid.ny, grid.nx), jnp.float32)
+    n0 = float(aero.total_num().sum())
+    step_s = jax.jit(lambda a, k: transport_step_sharded(
+        a, diag.probs, diag.xkhh, exch, grid, cfg, cfg.dynamics.dt, k, mesh8))
+    a = aero
+    for i in range(20):
+        a = step_s(a, jax.random.key(i))
+    n1 = float(a.total_num().sum())
+    assert n1 < n0 * 0.999          # something left through the outflow edge
+    assert np.isfinite(np.asarray(a.vol)).all()
