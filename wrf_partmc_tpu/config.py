@@ -176,7 +176,8 @@ def validate_config(cfg: Config) -> Config:
         errs.append(f"domain too small: {d.nx}x{d.ny}x{d.nz}")
     if dy.dt <= 0:
         errs.append("dynamics.dt must be positive")
-    if dy.h_adv_order not in (1, 2, 3, 4, 5, 6) or dy.v_adv_order not in (1, 2, 3):
+    if (dy.h_adv_order not in (1, 2, 3, 4, 5, 6, "weno5", "weno3")
+            or dy.v_adv_order not in (1, 2, 3, "weno3", "weno5")):
         errs.append(f"unsupported advection orders h={dy.h_adv_order} v={dy.v_adv_order}")
     if dy.chem_adv_opt not in ("pd", "mono") or dy.moist_adv_opt not in ("pd", "mono"):
         errs.append("chem/moist_adv_opt must be 'pd' or 'mono'")
@@ -251,10 +252,18 @@ def namelist_to_config(groups: dict) -> Config:
         ))
     dyn = groups.get("dynamics", {})
     if dyn:
-        adv_map = {0: "pd", 1: "pd", 2: "mono"}   # WRF *_adv_opt integers
+        # WRF *_adv_opt integers: 0/1 PD, 2 monotonic, 3 WENO5, 4 WENO5+PD
+        # (module_advect_em.F WENO variants :7963,:8647); WENO selections
+        # switch the reconstruction order, the limiter stays PD.
+        adv_map = {0: "pd", 1: "pd", 2: "mono", 3: "pd", 4: "pd"}
+        h_ord: object = int(dyn.get("h_sca_adv_order", 5))
+        v_ord: object = int(dyn.get("v_sca_adv_order", 3))
+        if int(dyn.get("chem_adv_opt", 2)) in (3, 4) or \
+                int(dyn.get("moist_adv_opt", 1)) in (3, 4):
+            h_ord, v_ord = "weno5", "weno3"
         cfg = _replace_sub(cfg, "dynamics",
-                           h_adv_order=int(dyn.get("h_sca_adv_order", 5)),
-                           v_adv_order=int(dyn.get("v_sca_adv_order", 3)),
+                           h_adv_order=h_ord,
+                           v_adv_order=v_ord,
                            khdif=float(dyn.get("khdif", 0.0)),
                            kvdif=float(dyn.get("kvdif", 0.0)),
                            diff_opt=int(dyn.get("diff_opt", 0)),

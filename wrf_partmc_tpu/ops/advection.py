@@ -23,13 +23,79 @@ import jax.numpy as jnp
 from .stencil import AXIS_X, AXIS_Y, AXIS_Z, shift
 
 
-def _upwind_face_flux(q, vel_face, order: int, axis: int, bc: str):
+def _weno_face_value(q, upwind_pos, order: int, axis: int, bc: str,
+                     eps: float = 1e-6):
+    """WENO reconstruction of q at the face between cells i-1 and i
+    (Jiang & Shu 1996) — the scheme behind the reference's WENO advection
+    variants (``module_advect_em.F:7963`` 5th-order, ``:8647`` 3rd-order).
+
+    ``upwind_pos``: boolean/array, True where the face velocity >= 0 (donor
+    is cell i-1).  The negative-velocity branch is the mirror stencil.
+    """
+    s = lambda k: shift(q, k, axis, bc)
+
+    # smoothness indicators are evaluated on a locally-normalized stencil so
+    # the nonlinear weights stay scale-invariant in f32 (beta ~ q^2 and
+    # alpha ~ 1/beta^2 would overflow/underflow for fields like number
+    # concentrations ~1e9); the candidate polynomials are linear in q and use
+    # the raw values.
+    def weno5(qm3, qm2, qm1, q0, qp1):
+        scale = jnp.maximum(jnp.abs(qm3), jnp.maximum(jnp.abs(qm2),
+                jnp.maximum(jnp.abs(qm1), jnp.maximum(jnp.abs(q0),
+                jnp.abs(qp1))))) + 1e-30
+        n3, n2, n1, n0, np1 = (v / scale for v in (qm3, qm2, qm1, q0, qp1))
+        b0 = (13.0 / 12.0) * (n3 - 2.0 * n2 + n1) ** 2 \
+            + 0.25 * (n3 - 4.0 * n2 + 3.0 * n1) ** 2
+        b1 = (13.0 / 12.0) * (n2 - 2.0 * n1 + n0) ** 2 \
+            + 0.25 * (n2 - n0) ** 2
+        b2 = (13.0 / 12.0) * (n1 - 2.0 * n0 + np1) ** 2 \
+            + 0.25 * (3.0 * n1 - 4.0 * n0 + np1) ** 2
+        a0 = 0.1 / (eps + b0) ** 2
+        a1 = 0.6 / (eps + b1) ** 2
+        a2 = 0.3 / (eps + b2) ** 2
+        asum = a0 + a1 + a2            # weights normalized BEFORE combining
+        p0 = (2.0 * qm3 - 7.0 * qm2 + 11.0 * qm1) / 6.0
+        p1 = (-qm2 + 5.0 * qm1 + 2.0 * q0) / 6.0
+        p2 = (2.0 * qm1 + 5.0 * q0 - qp1) / 6.0
+        return (a0 / asum) * p0 + (a1 / asum) * p1 + (a2 / asum) * p2
+
+    def weno3(qm2, qm1, q0):
+        scale = jnp.maximum(jnp.abs(qm2),
+                            jnp.maximum(jnp.abs(qm1), jnp.abs(q0))) + 1e-30
+        n2, n1, n0 = qm2 / scale, qm1 / scale, q0 / scale
+        b0 = (n2 - n1) ** 2
+        b1 = (n1 - n0) ** 2
+        a0 = (1.0 / 3.0) / (eps + b0) ** 2
+        a1 = (2.0 / 3.0) / (eps + b1) ** 2
+        asum = a0 + a1
+        p0 = 1.5 * qm1 - 0.5 * qm2
+        p1 = 0.5 * (qm1 + q0)
+        return (a0 / asum) * p0 + (a1 / asum) * p1
+
+    if order == 5:
+        q_pos = weno5(s(-3), s(-2), s(-1), s(0), s(1))
+        q_neg = weno5(s(2), s(1), s(0), s(-1), s(-2))
+    elif order == 3:
+        q_pos = weno3(s(-2), s(-1), s(0))
+        q_neg = weno3(s(1), s(0), s(-1))
+    else:
+        raise ValueError(f"unsupported WENO order {order}")
+    return jnp.where(upwind_pos, q_pos, q_neg)
+
+
+def _upwind_face_flux(q, vel_face, order, axis: int, bc: str):
     """Tracer flux through owner faces: F[i] = vel_face[i] * q_interp at the
     face between cells i-1 and i.  vel_face carries the mass flux [rho*u].
 
     WRF's even-order symmetric flux minus odd-order upwinding dissipation
-    (module_advect_em.F flux forms).
+    (module_advect_em.F flux forms); ``order`` may also be "weno5"/"weno3"
+    for the nonlinear WENO reconstructions (scalar_adv_opt=3/4 class).
     """
+    if isinstance(order, str):
+        if order not in ("weno5", "weno3"):
+            raise ValueError(f"unsupported advection order {order}")
+        qf = _weno_face_value(q, vel_face >= 0.0, int(order[-1]), axis, bc)
+        return vel_face * qf
     s = lambda k: shift(q, k, axis, bc)
     u = vel_face
     au = jnp.abs(vel_face)
@@ -70,8 +136,8 @@ def face_fluxes(q, rho_u, rho_v, rho_w, h_order: int, v_order: int,
     # vertical: face k sits between cells k-1 and k; _upwind_face_flux on the
     # nz cell levels yields faces 0..nz-1 (clamped one-sided near the ends);
     # the top face (k = nz) is appended and both boundary faces zeroed.
-    fz_low = _upwind_face_flux(q, rho_w[..., :-1, :, :], min(v_order, 3),
-                               AXIS_Z, "clamp")
+    vo = "weno3" if isinstance(v_order, str) else min(v_order, 3)
+    fz_low = _upwind_face_flux(q, rho_w[..., :-1, :, :], vo, AXIS_Z, "clamp")
     fz = jnp.concatenate([fz_low, jnp.zeros_like(fz_low[..., :1, :, :])], axis=-3)
     fz = _zero_boundary_vertical_flux(fz)
     return fx, fy, fz
