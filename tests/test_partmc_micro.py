@@ -257,3 +257,58 @@ def test_condense_dynamic_activation_and_vapor_closure():
     rv = c.UNIV_GAS_CONST / c.WATER_MOLEC_WEIGHT
     m_vap_sat = es / (rv * 280.0) * 1.0
     np.testing.assert_allclose(dm, (s0 - float(s2)) * m_vap_sat, rtol=5e-2)
+
+# ------------------- advanced diagnostics: optics + mixed counterfactual ----
+
+def _external_bc_so4(capacity=64, n_each=16, d=2e-7):
+    """External mixture: n_each BC-only + n_each SO4-only particles, equal
+    dry diameters and multiplicities."""
+    from wrf_partmc_tpu.models.partmc.aero_data import diam_to_vol
+
+    st = zero_state(AD, capacity)
+    v = float(diam_to_vol(jnp.asarray(d)))
+    vol = np.zeros((S, 2 * n_each), np.float32)
+    vol[AD.spec_by_name("BC"), :n_each] = v
+    vol[AD.spec_by_name("SO4"), n_each:] = v
+    num = np.full(2 * n_each, 1e8, np.float32)
+    src = np.zeros(2 * n_each, np.int32)
+    wcl = np.zeros(2 * n_each, np.int32)
+    return add_particles(st, jnp.asarray(vol), jnp.asarray(num),
+                         jnp.asarray(src), jnp.asarray(wcl))
+
+
+def test_bin_average_comp_internal_mixing():
+    """Composition averaging preserves per-particle dry volume and the size
+    distribution, and drives the mixing-state index chi from ~0 (external)
+    to ~1 (internal)."""
+    from wrf_partmc_tpu.models.partmc.diagnostics import bin_average_comp
+
+    st = _external_bc_so4()
+    bg = make_bin_grid(40, 1e-9, 1e-5)
+    chi0, _, _ = mixing_state_metrics(st, AD)
+    mixed = bin_average_comp(st, AD, bg)
+    chi1, _, _ = mixing_state_metrics(mixed, AD)
+    assert float(chi0) < 0.05
+    assert float(chi1) > 0.95
+    # dry volume per particle preserved
+    from wrf_partmc_tpu.models.partmc.aero_data import particle_volume
+    v0 = particle_volume(st.vol, dry=True, aero_data=AD)
+    v1 = particle_volume(mixed.vol, dry=True, aero_data=AD)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v0), rtol=1e-5)
+
+
+def test_process_advanced_optical_counterfactual():
+    """Advanced diagnostics: positive scattering/absorption; the
+    internally-mixed counterfactual differs from the external mixture
+    (BC redistribution changes absorption); plain mode returns zeros."""
+    st = _external_bc_so4()
+    bg = make_bin_grid(40, 1e-9, 1e-5)
+    d = jax.jit(lambda s: process(s, AD, ENV, bg))(st)
+    assert float(d.b_scat) > 0.0 and float(d.b_abs) > 0.0
+    assert float(d.b_scat_mix) > 0.0
+    # counterfactual changes the optics (not identical populations)
+    assert abs(float(d.b_abs_mix) - float(d.b_abs)) > 1e-3 * float(d.b_abs)
+    # CCN counterfactual: kappa dilution shifts activation
+    assert d.ccn_mix.shape == d.ccn.shape
+    d0 = process(st, AD, ENV, bg, advanced=False)
+    assert float(d0.b_scat) == 0.0 and float(jnp.sum(d0.ccn_mix)) == 0.0

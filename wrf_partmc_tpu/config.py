@@ -110,6 +110,9 @@ class PartmcConfig:
     do_deposition: bool = True
     do_transport: bool = True
     do_gridded_output: bool = True
+    do_advanced_process: bool = True  # optical + internally-mixed
+                                      # counterfactual diagnostics
+                                      # (registry.partmc:23 equivalent)
     do_condensation: bool = False  # water uptake each chem step
     condense_mode: str = "equilib" # "equilib" (condense_equilib_particles,
                                    # the coupled-model default,

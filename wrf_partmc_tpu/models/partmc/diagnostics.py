@@ -13,6 +13,7 @@ pass per cell batch on the VPU, no per-particle loops.
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass
 
 import jax
@@ -20,8 +21,8 @@ import jax.numpy as jnp
 
 from .aero_data import AeroData, particle_mass, vol_to_diam, particle_volume
 from .aero_state import AeroState
-from .bin_grid import BinGrid, histogram
-from .condense import ccn_conc
+from .bin_grid import BinGrid, bin_index, histogram
+from .condense import ccn_conc, equilib_water
 from .env_state import EnvState
 
 
@@ -39,6 +40,17 @@ class AeroDiagnostics:
     pm1: jax.Array           # [...] [kg m-3]
     pm25: jax.Array
     pm10: jax.Array
+    # advanced (do_advanced_process) optical/counterfactual diagnostics:
+    # bulk scattering/absorption [m-1] for the actual (externally mixed)
+    # population and for the composition-averaged internally-mixed
+    # counterfactual (bin_average_comp + condense_equilib_particles +
+    # optics, ``wrf_pmc_driver.F90:1180-1252``); CCN spectrum of the same
+    # counterfactual (``:1043-1100``).
+    b_scat: jax.Array        # [...]
+    b_abs: jax.Array         # [...]
+    b_scat_mix: jax.Array    # [...]
+    b_abs_mix: jax.Array     # [...]
+    ccn_mix: jax.Array       # [..., K]
 
 
 def mixing_state_metrics(state: AeroState, aero_data: AeroData,
@@ -81,9 +93,40 @@ def pm_mass(state: AeroState, aero_data: AeroData, cutoff_diam, cell_volume):
     return jnp.sum(jnp.where(sel, m * state.num, 0.0), axis=-1) / cell_volume
 
 
+def bin_average_comp(state: AeroState, aero_data: AeroData,
+                     bg: BinGrid) -> AeroState:
+    """Composition-averaging counterfactual (``aero_state_bin_average_comp``):
+    every particle's dry composition is replaced by its size bin's
+    volume-weighted mean composition, preserving each particle's total dry
+    volume (and therefore the size distribution exactly).  Water is zeroed;
+    re-equilibrate with :func:`~.condense.equilib_water` before using the
+    result for optics/CCN.  This is the "what if the population were
+    internally mixed" reference state of the chi / optics / CCN comparisons
+    (``wrf_pmc_driver.F90:1043-1100, :1180-1252``)."""
+    d = state.dry_diameter(aero_data)
+    idx = bin_index(bg, d)
+    onehot = jax.nn.one_hot(idx, bg.n_bin, dtype=state.vol.dtype)   # [..., P, B]
+    w = jnp.where(state.alive, state.num, 0.0)
+    dry_vol_sp = state.vol * aero_data.dry_mask[..., :, None]        # [..., S, P]
+    v_sb = jnp.einsum("...sp,...pb->...sb", dry_vol_sp * w[..., None, :],
+                      onehot)
+    v_b = jnp.sum(v_sb, axis=-2)                                     # [..., B]
+    frac_sb = v_sb / jnp.maximum(v_b[..., None, :], 1e-30)           # [..., S, B]
+    frac_p = jnp.einsum("...sb,...pb->...sp", frac_sb, onehot)       # [..., S, P]
+    v_dry_p = jnp.sum(dry_vol_sp, axis=-2)                           # [..., P]
+    vol_new = frac_p * v_dry_p[..., None, :]
+    return dataclasses.replace(state, vol=vol_new)
+
+
 def process(state: AeroState, aero_data: AeroData, env: EnvState, bg: BinGrid,
-            supersats=(0.001, 0.003, 0.006, 0.01)) -> AeroDiagnostics:
-    """The partmc_process equivalent: every gridded diagnostic in one pass."""
+            supersats=(0.001, 0.003, 0.006, 0.01),
+            advanced: bool = True) -> AeroDiagnostics:
+    """The partmc_process equivalent: every gridded diagnostic in one pass.
+
+    ``advanced`` adds the do_advanced_process optical + internally-mixed
+    counterfactual diagnostics (zeros when off)."""
+    from .optics import scat_abs_coeffs
+
     V = jnp.asarray(env.cell_volume)
     d = state.dry_diameter(aero_data)
     d = jnp.where(state.alive, d, bg.centers[0])
@@ -95,7 +138,18 @@ def process(state: AeroState, aero_data: AeroData, env: EnvState, bg: BinGrid,
                            state.vol * aero_data.density[..., :, None],
                            w_num)
     chi, d_alpha, d_gamma = mixing_state_metrics(state, aero_data)
-    ccn = ccn_conc(state, aero_data, env, jnp.asarray(supersats, jnp.float32))
+    ss = jnp.asarray(supersats, jnp.float32)
+    ccn = ccn_conc(state, aero_data, env, ss)
+    if advanced:
+        b_scat, b_abs = scat_abs_coeffs(state, aero_data, V)
+        mixed = equilib_water(bin_average_comp(state, aero_data, bg),
+                              aero_data, env)
+        b_scat_mix, b_abs_mix = scat_abs_coeffs(mixed, aero_data, V)
+        ccn_mix = ccn_conc(mixed, aero_data, env, ss)
+    else:
+        zero = jnp.zeros_like(chi)
+        b_scat = b_abs = b_scat_mix = b_abs_mix = zero
+        ccn_mix = jnp.zeros_like(ccn)
     return AeroDiagnostics(
         num_dist=num_dist, mass_dist=mass_dist, spec_mass=spec_mass,
         num_conc=state.num_conc(V), chi=chi, d_alpha=d_alpha, d_gamma=d_gamma,
@@ -103,4 +157,6 @@ def process(state: AeroState, aero_data: AeroData, env: EnvState, bg: BinGrid,
         pm1=pm_mass(state, aero_data, 1e-6, V),
         pm25=pm_mass(state, aero_data, 2.5e-6, V),
         pm10=pm_mass(state, aero_data, 1e-5, V),
+        b_scat=b_scat, b_abs=b_abs,
+        b_scat_mix=b_scat_mix, b_abs_mix=b_abs_mix, ccn_mix=ccn_mix,
     )

@@ -120,3 +120,20 @@ def bulk_optical_props(state: AeroState, aero_data: AeroData, dz,
         gas_.append(g)
     return BulkOptics(tauaer=jnp.stack(taus), waer=jnp.stack(was),
                       gaer=jnp.stack(gas_))
+
+def scat_abs_coeffs(state: AeroState, aero_data: AeroData, cell_volume,
+                    wavelength: float = 5.5e-7):
+    """Bulk scattering/absorption coefficients [m-1] at one wavelength —
+    the per-population reduction behind the reference's optical diagnostic
+    fields (``wrf_pmc_driver.F90:1180-1252``, MOSAIC optics per particle
+    summed to gridded scattering/absorption)."""
+    diam = jnp.maximum(state.wet_diameter(), 1e-9)
+    n, k = particle_refractive_index(state, aero_data)
+    area = (jnp.pi / 4.0) * diam * diam
+    q_ext, q_abs = adt_efficiencies(diam, n, k, wavelength)
+    V = jnp.asarray(cell_volume)
+    c_abs = q_abs * area * state.num
+    c_sca = (q_ext - q_abs) * area * state.num
+    b_abs = jnp.sum(jnp.where(state.alive, c_abs, 0.0), axis=-1) / V
+    b_sca = jnp.sum(jnp.where(state.alive, c_sca, 0.0), axis=-1) / V
+    return b_sca, b_abs

@@ -97,7 +97,9 @@ def run(cfg: Config, case: str, outdir: str, seed: int = 0,
         if clock.ringing("auxhist2"):
             with timers.section("partmc_process"):
                 env = make_env(cs.dyn, grid, cfg, cs.step)
-                diag = jax.jit(lambda a: process(a, ad, env, bg))(cs.aero)
+                diag = jax.jit(lambda a: process(
+                    a, ad, env, bg,
+                    advanced=cfg.partmc.do_advanced_process))(cs.aero)
         else:
             diag = None
         if clock.ringing("history"):

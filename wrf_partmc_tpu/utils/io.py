@@ -68,6 +68,12 @@ def write_history(path: str, cs: CoupledState, grid, cfg, diag=None) -> None:
         var("pm1", ("z", "y", "x"), diag.pm1)
         var("pm25", ("z", "y", "x"), diag.pm25)
         var("pm10", ("z", "y", "x"), diag.pm10)
+        # do_advanced_process optical fields + internally-mixed counterfactual
+        var("b_scat", ("z", "y", "x"), diag.b_scat)
+        var("b_abs", ("z", "y", "x"), diag.b_abs)
+        var("b_scat_mix", ("z", "y", "x"), diag.b_scat_mix)
+        var("b_abs_mix", ("z", "y", "x"), diag.b_abs_mix)
+        var("ccn_mix", ("z", "y", "x", "ccn_s"), diag.ccn_mix)
     f.flush()
     f.close()
 
