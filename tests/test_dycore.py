@@ -162,3 +162,62 @@ def test_rayleigh_damping_suppresses_top_w():
     # top-third w amplitude reduced by the sponge
     assert np.abs(w_damp[-4:]).max() < np.abs(w_free[-4:]).max()
     assert np.isfinite(w_damp).all()
+
+# ----------------------- 1.5-order TKE closure (km_opt=2) ------------------
+
+def test_tke_closure_shear_production_and_stability():
+    """Sheared flow grows subgrid TKE; the derived K_h is positive and the
+    dycore stays finite over several steps (module_diffusion_em km_opt=2)."""
+    import dataclasses
+    import numpy as np
+    from wrf_partmc_tpu.config import DomainConfig, uniform_test_config
+    from wrf_partmc_tpu.grid import make_grid
+    from wrf_partmc_tpu.models.dycore.ideal import init_uniform
+    from wrf_partmc_tpu.models.dycore.solve import solve_step, tke_eddy_coeffs
+
+    cfg = uniform_test_config().replace(
+        domain=DomainConfig(nx=16, ny=16, nz=6, dx=2000.0, dy=2000.0,
+                            ztop=3000.0))
+    cfg = cfg.replace(dynamics=dataclasses.replace(
+        cfg.dynamics, constant_velocity=False, diff_opt=2, km_opt=2))
+    grid = make_grid(cfg)
+    s = init_uniform(cfg, grid, 5.0, 0.0)
+    # add horizontal shear: u varies with y
+    shear = 8.0 * jnp.sin(2 * jnp.pi * jnp.arange(grid.ny) / grid.ny)
+    s = dataclasses.replace(s, u=s.u + shear.reshape(1, -1, 1))
+    e0 = float(s.tke.mean())
+    step = jax.jit(lambda x: solve_step(x, grid, cfg))
+    for _ in range(5):
+        s, diag = step(s)
+    assert np.all(np.isfinite(np.asarray(s.tke)))
+    assert float(s.tke.mean()) > e0          # shear production
+    km, kh, _, _ = tke_eddy_coeffs(s, grid, cfg)
+    assert float(kh.min()) >= 0.0 and float(kh.max()) > float(km.mean()) * 0.5
+    assert np.all(np.isfinite(np.asarray(diag.xkhh)))
+    assert float(diag.xkhh.max()) > 0.0
+
+
+def test_tke_stable_stratification_suppresses_mixing():
+    """With strong stable stratification and no shear, TKE decays toward the
+    floor and the stability-limited length scale shrinks K."""
+    import dataclasses
+    import numpy as np
+    from wrf_partmc_tpu.config import DomainConfig, uniform_test_config
+    from wrf_partmc_tpu.grid import make_grid
+    from wrf_partmc_tpu.models.dycore.ideal import init_uniform
+    from wrf_partmc_tpu.models.dycore.solve import tke_advance
+
+    cfg = uniform_test_config().replace(
+        domain=DomainConfig(nx=12, ny=12, nz=6, dx=2000.0, dy=2000.0,
+                            ztop=3000.0))
+    cfg = cfg.replace(dynamics=dataclasses.replace(
+        cfg.dynamics, constant_velocity=False, diff_opt=2, km_opt=2))
+    grid = make_grid(cfg)
+    s = init_uniform(cfg, grid, 0.0, 0.0)
+    # strongly stable: theta increases 10 K/km
+    thp = 0.01 * grid.z_half.reshape(-1, 1, 1) * jnp.ones((1, grid.ny, grid.nx))
+    s = dataclasses.replace(s, theta_p=thp.astype(jnp.float32),
+                            tke=jnp.full_like(s.tke, 0.5))
+    e1, kh = tke_advance(s, grid, cfg, cfg.dynamics.dt)
+    assert float(e1.mean()) < 0.5            # buoyancy destruction + dissipation
+    assert np.all(np.asarray(e1) >= cfg.dynamics.tke_seed - 1e-8)

@@ -51,7 +51,11 @@ class DynamicsConfig:
     khdif: float = 0.0            # constant horizontal diffusion [m2 s-1]
     kvdif: float = 0.0            # constant vertical diffusion [m2 s-1]
     smag_cs: float = 0.25         # Smagorinsky constant (diff_opt=2)
-    diff_opt: int = 0             # 0=none, 1=constant K, 2=Smagorinsky 2D
+    diff_opt: int = 0             # 0=none, 1=constant K, 2=turbulence closure
+    km_opt: int = 4               # with diff_opt=2: 2 = prognostic 1.5-order
+                                  # TKE closure, 4 = 2-D Smagorinsky
+                                  # (module_diffusion_em km_opt values)
+    tke_seed: float = 0.01        # initial/floor subgrid TKE [m2 s-2]
     damp_opt: int = 0             # upper-level damping (0=off)
     zdamp: float = 5000.0         # damping-layer depth [m]
     dampcoef: float = 0.2
@@ -184,6 +188,8 @@ def validate_config(cfg: Config) -> Config:
         errs.append(f"unsupported advection orders h={dy.h_adv_order} v={dy.v_adv_order}")
     if dy.chem_adv_opt not in ("pd", "mono") or dy.moist_adv_opt not in ("pd", "mono"):
         errs.append("chem/moist_adv_opt must be 'pd' or 'mono'")
+    if dy.km_opt not in (2, 4):
+        errs.append(f"km_opt {dy.km_opt} not supported (2=TKE 1.5, 4=Smagorinsky)")
     if not dy.constant_velocity and dy.n_sound < 1:
         errs.append("live dynamics needs n_sound >= 1")
     if dy.damp_opt and not (0.0 < dy.zdamp <= d.ztop):
@@ -270,6 +276,8 @@ def namelist_to_config(groups: dict) -> Config:
                            khdif=float(dyn.get("khdif", 0.0)),
                            kvdif=float(dyn.get("kvdif", 0.0)),
                            diff_opt=int(dyn.get("diff_opt", 0)),
+                           km_opt={1: 4, 2: 2, 3: 4, 4: 4}.get(
+                               int(dyn.get("km_opt", 4)), 4),
                            chem_adv_opt=adv_map.get(
                                int(dyn.get("chem_adv_opt", 2)), "mono"),
                            moist_adv_opt=adv_map.get(

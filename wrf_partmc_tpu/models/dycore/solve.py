@@ -86,9 +86,9 @@ def _laplacian_h(f, rdx, rdy, bc_x, bc_y):
             + (shift(f, 1, AXIS_Y, bc_y) - 2 * f + shift(f, -1, AXIS_Y, bc_y)) * rdy ** 2)
 
 
-def smagorinsky_khh(state: DycoreState, grid: Grid, cfg: Config):
-    """2-D Smagorinsky first-order closure (module_diffusion_em horizontal
-    path): K = (c_s dx)^2 sqrt(D11^2 + D22^2 + 2 D12^2)."""
+def deformation_mag(state: DycoreState, grid: Grid, cfg: Config):
+    """Horizontal deformation magnitude |D| = sqrt(D11^2 + D22^2 + 2 D12^2)
+    at cell centers (module_diffusion_em horizontal strain)."""
     bx, by = _bc_pair(cfg)
     rdx, rdy = grid.rdx, grid.rdy
     u_c = 0.5 * (state.u + shift(state.u, 1, AXIS_X, bx))
@@ -98,8 +98,66 @@ def smagorinsky_khh(state: DycoreState, grid: Grid, cfg: Config):
     dudy = (shift(u_c, 1, AXIS_Y, by) - shift(u_c, -1, AXIS_Y, by)) * 0.5 * rdy
     dvdx = (shift(v_c, 1, AXIS_X, bx) - shift(v_c, -1, AXIS_X, bx)) * 0.5 * rdx
     d12 = 0.5 * (dudy + dvdx)
-    mag = jnp.sqrt(d11 ** 2 + d22 ** 2 + 2.0 * d12 ** 2)
-    return (cfg.dynamics.smag_cs * grid.dx) ** 2 * mag
+    return jnp.sqrt(d11 ** 2 + d22 ** 2 + 2.0 * d12 ** 2)
+
+
+def smagorinsky_khh(state: DycoreState, grid: Grid, cfg: Config):
+    """2-D Smagorinsky first-order closure (module_diffusion_em horizontal
+    path, km_opt=4): K = (c_s dx)^2 |D|."""
+    return (cfg.dynamics.smag_cs * grid.dx) ** 2 * deformation_mag(state, grid, cfg)
+
+
+def brunt_vaisala_sq(state: DycoreState, grid: Grid):
+    """Moist-free N^2 = (g/theta) dtheta/dz at cell centers [nz, ny, nx]."""
+    _, theta_b, _ = base_profiles(grid)
+    th = theta_b.reshape(-1, 1, 1) + state.theta_p
+    dz_f = jnp.concatenate([grid.dz[:1], 0.5 * (grid.dz[1:] + grid.dz[:-1]),
+                            grid.dz[-1:]])
+    dth = jnp.concatenate([th[1:2] - th[0:1],
+                           0.5 * (th[2:] - th[:-2]),
+                           th[-1:] - th[-2:-1]], axis=0)
+    dthdz = dth / dz_f.reshape(-1, 1, 1)
+    return (c.GRAV / th) * dthdz
+
+
+def tke_eddy_coeffs(state: DycoreState, grid: Grid, cfg: Config):
+    """Eddy viscosities from the prognostic subgrid TKE (km_opt=2, the
+    1.5-order closure of ``module_diffusion_em``): K_m = c_k l sqrt(e) with
+    the stability-limited mixing length l = min(Delta, 0.76 sqrt(e/N^2)),
+    K_h = (1 + 2 l / Delta) K_m (Deardorff 1980)."""
+    e = jnp.maximum(state.tke, cfg.dynamics.tke_seed)
+    delta = (grid.dx * grid.dy * grid.dz.reshape(-1, 1, 1).mean()) ** (1.0 / 3.0)
+    n2 = brunt_vaisala_sq(state, grid)
+    l_stable = 0.76 * jnp.sqrt(e / jnp.maximum(n2, 1e-10))
+    length = jnp.where(n2 > 1e-10, jnp.minimum(delta, l_stable), delta)
+    km = 0.10 * length * jnp.sqrt(e)
+    kh = (1.0 + 2.0 * length / delta) * km
+    return km, kh, length, delta
+
+
+def tke_advance(state: DycoreState, grid: Grid, cfg: Config, dt: float):
+    """One forward step of the prognostic TKE equation:
+    de/dt = -v.grad(e) + P_shear + P_buoy - dissipation + diffusion.
+
+    P_shear = K_m |D|^2, P_buoy = -K_h N^2, eps = C_e e^(3/2)/l with
+    C_e = 1.9 stable-limit blend (Deardorff); e floored at tke_seed."""
+    bx, by = _bc_pair(cfg)
+    rho_b, _, _ = base_profiles(grid)
+    rho_c = rho_b.reshape(-1, 1, 1)
+    rho_f = _rho_faces(rho_b)
+    rdz = 1.0 / grid.dz
+    km, kh, length, delta = tke_eddy_coeffs(state, grid, cfg)
+    adv = _advective_tendency(state.tke, rho_c * state.u, rho_c * state.v,
+                              rho_f.reshape(-1, 1, 1) * state.w, rho_c,
+                              grid.rdx, grid.rdy, rdz, 2, 2, bx, by)
+    p_shear = km * deformation_mag(state, grid, cfg) ** 2
+    p_buoy = -kh * brunt_vaisala_sq(state, grid)
+    c_eps = 1.9 * (0.93 + 0.07 * length / delta)   # WRF's l/Delta blend shape
+    e = jnp.maximum(state.tke, 0.0)
+    diss = c_eps * e ** 1.5 / jnp.maximum(length, 1e-3)
+    diff = 2.0 * km * _laplacian_h(e, grid.rdx, grid.rdy, bx, by)
+    e_new = e + dt * (adv + p_shear + p_buoy - diss + diff)
+    return jnp.maximum(e_new, cfg.dynamics.tke_seed), kh
 
 
 def _slow_tendencies(s: DycoreState, grid: Grid, cfg: Config) -> _SlowTend:
@@ -158,7 +216,10 @@ def _slow_tendencies(s: DycoreState, grid: Grid, cfg: Config) -> _SlowTend:
         t_v = t_v + dyn.khdif * _laplacian_h(s.v, rdx, rdy, bx, by)
         t_th = t_th + dyn.khdif * _laplacian_h(s.theta_p, rdx, rdy, bx, by)
     elif dyn.diff_opt == 2:
-        kh = smagorinsky_khh(s, grid, cfg)
+        if dyn.km_opt == 2:
+            _, kh, _, _ = tke_eddy_coeffs(s, grid, cfg)
+        else:
+            kh = smagorinsky_khh(s, grid, cfg)
         t_u = t_u + kh * _laplacian_h(s.u, rdx, rdy, bx, by)
         t_v = t_v + kh * _laplacian_h(s.v, rdx, rdy, bx, by)
         t_th = t_th + kh * _laplacian_h(s.theta_p, rdx, rdy, bx, by)
@@ -293,7 +354,10 @@ def solve_step(state: DycoreState, grid: Grid, cfg: Config):
     chem, _ = adv(state.chem, dyn.chem_adv_opt)
     num_conc, probs = adv(state.num_conc, dyn.chem_adv_opt)
 
-    if dyn.diff_opt == 2:
+    if dyn.diff_opt == 2 and dyn.km_opt == 2:
+        tke_new, xkhh = tke_advance(new, grid, cfg, dyn.dt)
+        new = replace(new, tke=tke_new)
+    elif dyn.diff_opt == 2:
         xkhh = smagorinsky_khh(new, grid, cfg)
     else:
         xkhh = jnp.full((grid.nz, grid.ny, grid.nx), dyn.khdif, jnp.float32)

@@ -37,6 +37,9 @@ class DycoreState:
     chem: jax.Array       # [n_gas, nz, ny, nx] gas mix ratios [ppm-equiv]
     num_conc: jax.Array   # [n_class, nz, ny, nx] aerosol number conc tracers
                           # [# kg-1-air-equivalent] (the NUM_CONC_a## family)
+    tke: jax.Array        # [nz, ny, nx] subgrid turbulent kinetic energy
+                          # [m2 s-2] (prognostic when km_opt=2, the 1.5-order
+                          # closure of module_diffusion_em)
 
     @property
     def nz(self) -> int:
@@ -52,6 +55,7 @@ def zero_dycore_state(cfg: Config, grid: Grid) -> DycoreState:
         moist=z(cfg.n_moist, nz, ny, nx),
         chem=z(cfg.n_chem_gas, nz, ny, nx),
         num_conc=z(cfg.n_class, nz, ny, nx),
+        tke=jnp.full((nz, ny, nx), cfg.dynamics.tke_seed, jnp.float32),
     )
 
 
