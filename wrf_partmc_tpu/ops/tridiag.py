@@ -21,7 +21,21 @@ def solve(dl, d, du, b):
     dl, d, du, b: [n, ...] — sub-, main-, super-diagonal and RHS; dl[0] and
     du[n-1] are ignored.  Diagonals may carry broadcastable batch dims (e.g.
     [n, 1, 1] coefficients against an [n, ny, nx] RHS).  Returns x: [n, ...].
+
+    On TPU this dispatches to the VMEM-resident Pallas kernel
+    (``ops/pallas_tridiag.py``) — one HBM pass instead of 2n scanned plane
+    round-trips; elsewhere (CPU tests, non-TPU backends) it runs the
+    reference ``lax.scan`` Thomas recurrence below.
     """
+    if jax.default_backend() == "tpu":
+        from .pallas_tridiag import solve_pallas
+
+        return solve_pallas(dl, d, du, b)
+    return solve_scan(dl, d, du, b)
+
+
+def solve_scan(dl, d, du, b):
+    """Pure-XLA Thomas recurrence (reference path; any backend)."""
     shape = jnp.broadcast_shapes(dl.shape, d.shape, du.shape, b.shape)
     dl, d, du, b = (jnp.broadcast_to(a, shape) for a in (dl, d, du, b))
     n = d.shape[0]
