@@ -56,3 +56,66 @@ def populate_from_dist(aero_data: AeroData, cfg: Config, grid: Grid,
     vol, num, src, wcl = sample_particles(key, dist, aero_data, n_per_cell,
                                           V, cell_shape)
     return add_particles(st, vol, num, src, wcl)
+
+
+def init_from_files(aero_data: AeroData, n_gas: int, cfg: Config, grid: Grid,
+                    key, ics_path: str, emissions_path: str | None = None,
+                    bcs_path: str | None = None):
+    """File-driven initialization — the real-data branch of
+    ``init_wrf_partmc`` (``wrf_pmc_init.F90:284-379``): per-level/per-cell IC
+    modes sampled into every cell (``init_read_in_ics`` :972), emission mode
+    time series (``init_read_in_emissions`` :583), and lateral-BC background
+    reservoir series (``init_read_in_bcs`` :809, stored as scenario
+    background+dilution).
+
+    Files follow the whole-domain NetCDF contract of ``tools/make_inputs.py``
+    (the TPU-native replacement for the reference's per-column
+    ``ics_<i>_<j>.nc`` / ``aero_emit_dist_<i>_<j>_<k>.nc`` file sets).
+
+    Returns ``(aero_state, scenario_fn)`` where ``scenario_fn(t)`` yields the
+    :class:`Scenario` for model time t — emission series are carried whole
+    (interpolated on-device per step); the BC background is selected by time
+    slab on the host, mirroring the reference's BC time-index change trigger
+    (``wrf_pmc_trans_aero.F90:824-838``).
+    """
+    import numpy as np
+
+    from ...tools.make_inputs import read_bcs, read_emissions, read_ics
+    from ..partmc.scenario import Scenario
+
+    ic_dist = read_ics(ics_path)
+    aero = populate_from_dist(aero_data, cfg, grid, ic_dist, key)
+
+    if emissions_path is not None:
+        emit_times, emit_dist, gas_rate = read_emissions(emissions_path)
+    else:
+        vf = jnp.ones((1, aero_data.n_spec), jnp.float32) / aero_data.n_spec
+        emit_times = jnp.zeros(1, jnp.float32)
+        emit_dist = AeroDist(
+            num_conc=jnp.zeros((1, 1), jnp.float32),
+            geom_mean_diam=jnp.full((1, 1), 1e-7, jnp.float32),
+            log_geom_std=jnp.full((1, 1), 0.5, jnp.float32),
+            vol_frac=vf[None], source=jnp.zeros(1, jnp.int32),
+            w_class=jnp.zeros(1, jnp.int32))
+        gas_rate = jnp.zeros((1, n_gas), jnp.float32)
+
+    if bcs_path is not None:
+        bc_times, bc_dist, bc_gas, bc_dil = read_bcs(bcs_path)
+        bc_times_np = np.asarray(bc_times)
+    else:
+        bc_times_np = np.zeros(1)
+        bc_dist = jax.tree.map(lambda a: a[:1] * 0.0, emit_dist)
+        bc_gas = jnp.zeros((1, n_gas), jnp.float32)
+        bc_dil = jnp.zeros(1, jnp.float32)
+
+    def scenario_fn(t: float) -> Scenario:
+        i = int(np.clip(np.searchsorted(bc_times_np, t, side="right") - 1,
+                        0, len(bc_times_np) - 1))
+        return Scenario(
+            emit_times=emit_times, emit_dist=emit_dist,
+            gas_emit_rate=gas_rate,
+            dilution_rate=jnp.asarray(bc_dil)[i],
+            back_dist=jax.tree.map(lambda a: a[i], bc_dist),
+            back_gas=jnp.asarray(bc_gas)[i])
+
+    return aero, scenario_fn

@@ -111,8 +111,11 @@ def brunt_vaisala_sq(state: DycoreState, grid: Grid):
     """Moist-free N^2 = (g/theta) dtheta/dz at cell centers [nz, ny, nx]."""
     _, theta_b, _ = base_profiles(grid)
     th = theta_b.reshape(-1, 1, 1) + state.theta_p
-    dz_f = jnp.concatenate([grid.dz[:1], 0.5 * (grid.dz[1:] + grid.dz[:-1]),
-                            grid.dz[-1:]])
+    zh = grid.z_half
+    # spacing matched to the dth stencil: one-sided at ends, centered interior
+    dz_f = jnp.concatenate([zh[1:2] - zh[0:1],
+                            0.5 * (zh[2:] - zh[:-2]),
+                            zh[-1:] - zh[-2:-1]])
     dth = jnp.concatenate([th[1:2] - th[0:1],
                            0.5 * (th[2:] - th[:-2]),
                            th[-1:] - th[-2:-1]], axis=0)
