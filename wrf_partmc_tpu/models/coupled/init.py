@@ -8,6 +8,8 @@ the uniform/rotational verification cases) plus the per-cell sampling used by
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 
@@ -83,7 +85,21 @@ def init_from_files(aero_data: AeroData, n_gas: int, cfg: Config, grid: Grid,
     from ...tools.make_inputs import read_bcs, read_emissions, read_ics
     from ..partmc.scenario import Scenario
 
-    ic_dist = read_ics(ics_path)
+    def _cellify(a, trail: int):
+        """Insert (ny, nx) broadcast axes when the array carries a leading
+        per-level z axis (``trail`` = # of non-cell trailing axes)."""
+        if a.ndim == trail + 1:          # [nz, ...] -> [nz, 1, 1, ...]
+            return a.reshape(a.shape[0], 1, 1, *a.shape[1:])
+        return a
+
+    def _cellify_dist(d: AeroDist) -> AeroDist:
+        return dataclasses.replace(
+            d, num_conc=_cellify(d.num_conc, 1),
+            geom_mean_diam=_cellify(d.geom_mean_diam, 1),
+            log_geom_std=_cellify(d.log_geom_std, 1),
+            vol_frac=_cellify(d.vol_frac, 2))
+
+    ic_dist = _cellify_dist(read_ics(ics_path))
     aero = populate_from_dist(aero_data, cfg, grid, ic_dist, key)
 
     if emissions_path is not None:
@@ -111,11 +127,12 @@ def init_from_files(aero_data: AeroData, n_gas: int, cfg: Config, grid: Grid,
     def scenario_fn(t: float) -> Scenario:
         i = int(np.clip(np.searchsorted(bc_times_np, t, side="right") - 1,
                         0, len(bc_times_np) - 1))
+        bd = _cellify_dist(jax.tree.map(lambda a: a[i], bc_dist))
         return Scenario(
             emit_times=emit_times, emit_dist=emit_dist,
             gas_emit_rate=gas_rate,
             dilution_rate=jnp.asarray(bc_dil)[i],
-            back_dist=jax.tree.map(lambda a: a[i], bc_dist),
-            back_gas=jnp.asarray(bc_gas)[i])
+            back_dist=bd,
+            back_gas=_cellify(jnp.asarray(bc_gas)[i], 1))
 
     return aero, scenario_fn

@@ -51,30 +51,45 @@ CASES = {
 }
 
 
-def build_model(cfg: Config, case: str = "uniform", seed: int = 0):
+def build_model(cfg: Config, case: str = "uniform", seed: int = 0,
+                input_files: dict | None = None):
+    """input_files: optional {"ics": path, "emissions": path, "bcs": path} —
+    the file-driven init branch of ``init_wrf_partmc`` (per-cell NetCDF
+    IC/BC/emission contract, ``wrf_pmc_init.F90:284-379``)."""
     grid = make_grid(cfg)
     ad = make_aero_data()
     gd = make_gas_data()
     vf = np.zeros(ad.n_spec)
     vf[ad.spec_by_name("SO4")] = 1.0
-    scn = constant_scenario(ad, gd.n_spec, make_mode(0.0, 1e-7, 1.6, vf))
     dyn = CASES[case](cfg, grid)
     cs = init_coupled(cfg, grid, ad, gd, dyn)
-    if case in ("uniform", "rotational"):
+    scenario_fn = None
+    if input_files and input_files.get("ics"):
+        from .models.coupled.init import init_from_files
+
+        aero, scenario_fn = init_from_files(
+            ad, gd.n_spec, cfg, grid, rng.base_key(seed), input_files["ics"],
+            input_files.get("emissions"), input_files.get("bcs"))
+        scn = scenario_fn(0.0)
+    elif case in ("uniform", "rotational"):
+        scn = constant_scenario(ad, gd.n_spec, make_mode(0.0, 1e-7, 1.6, vf))
         aero = populate_from_number_field(ad, cfg, grid, dyn.num_conc[0],
                                           rng.base_key(seed))
     else:
+        scn = constant_scenario(ad, gd.n_spec, make_mode(0.0, 1e-7, 1.6, vf))
         ic = make_mode(1e9, 1e-7, 1.6, vf)
         aero = populate_from_dist(ad, cfg, grid, ic, rng.base_key(seed))
     cs = dataclasses.replace(cs, aero=aero)
     exch = k_profile_exch_h(grid, 0.4, 800.0)
-    return grid, ad, gd, scn, cs, exch
+    return grid, ad, gd, scn, cs, exch, scenario_fn
 
 
 def run(cfg: Config, case: str, outdir: str, seed: int = 0,
-        restart_path: str | None = None, verbose: bool = True):
+        restart_path: str | None = None, verbose: bool = True,
+        input_files: dict | None = None):
     os.makedirs(outdir, exist_ok=True)
-    grid, ad, gd, scn, cs, exch = build_model(cfg, case, seed)
+    grid, ad, gd, scn, cs, exch, scenario_fn = build_model(cfg, case, seed,
+                                                           input_files)
     if restart_path:   # do_restart=.true. path: exact particle+field state
         cs = read_restart(restart_path, cs)
     key = rng.base_key(cfg.partmc.random_seed or seed)
@@ -90,10 +105,15 @@ def run(cfg: Config, case: str, outdir: str, seed: int = 0,
     timers = SectionTimers()
     quilt = QuiltWriter()
 
-    step1 = jax.jit(lambda c: coupled_step(c, grid, cfg, ad, gd, scn, exch, key))
+    # scenario passed as a jit ARGUMENT (static shapes, no retrace) so the
+    # host can swap BC time slabs, mirroring the reference's BC time-index
+    # change trigger (wrf_pmc_trans_aero.F90:824-838)
+    step1 = jax.jit(lambda c, s: coupled_step(c, grid, cfg, ad, gd, s, exch, key))
 
     n_hist = 0
     while not clock.done():
+        if scenario_fn is not None:
+            scn = scenario_fn(clock.t)
         if clock.ringing("auxhist2"):
             with timers.section("partmc_process"):
                 env = make_env(cs.dyn, grid, cfg, cs.step)
@@ -115,7 +135,7 @@ def run(cfg: Config, case: str, outdir: str, seed: int = 0,
                 write_restart(os.path.join(outdir, f"restart_{clock.step:06d}.npz"),
                               cs, writer=quilt)
         with timers.section("coupled_step"):
-            cs = jax.block_until_ready(step1(cs))
+            cs = jax.block_until_ready(step1(cs, scn))
         clock.advance()
         if verbose and clock.step % 50 == 0:
             print(f"step {clock.step}  t={clock.t:.0f}s  maxrss={memtrack_mb():.0f} MB")
@@ -136,6 +156,9 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, help="override run length in steps")
     ap.add_argument("--restart", help="restart npz to resume from")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--ics", help="IC NetCDF (tools/make_inputs.py contract)")
+    ap.add_argument("--emissions", help="emission time-series NetCDF")
+    ap.add_argument("--bcs", help="lateral-BC background NetCDF")
     args = ap.parse_args(argv)
 
     if args.namelist:
@@ -148,7 +171,9 @@ def main(argv=None):
     from .config import validate_config
 
     validate_config(cfg)          # check_a_mundo at startup
-    cs, _ = run(cfg, args.case, args.outdir, args.seed, args.restart)
+    files = {"ics": args.ics, "emissions": args.emissions, "bcs": args.bcs}
+    cs, _ = run(cfg, args.case, args.outdir, args.seed, args.restart,
+                input_files=files if args.ics else None)
     print(json.dumps({"steps": int(cs.step),
                       "total_particles": float(cs.aero.total_num().sum())}))
 
