@@ -90,7 +90,7 @@ def test_restart_roundtrip_bitwise(tmp_path):
     from wrf_partmc_tpu.utils.io import read_restart, write_restart
 
     cfg = _small_cfg()
-    grid, ad, gd, scn, cs0, exch = build_model(cfg, "uniform")
+    grid, ad, gd, scn, cs0, exch, _ = build_model(cfg, "uniform")
     key = rng.base_key(0)
     step = jax.jit(lambda c: coupled_step(c, grid, cfg, ad, gd, scn, exch, key))
 
@@ -113,11 +113,11 @@ def test_restart_shape_mismatch_raises(tmp_path):
     from wrf_partmc_tpu.utils.io import read_restart, write_restart
 
     cfg = _small_cfg()
-    _, _, _, _, cs, _ = build_model(cfg, "uniform")
+    _, _, _, _, cs, _, _ = build_model(cfg, "uniform")
     p = str(tmp_path / "rst.npz")
     write_restart(p, cs)
     cfg2 = cfg.replace(domain=DomainConfig(nx=10, ny=8, nz=3))
-    _, _, _, _, cs2, _ = build_model(cfg2, "uniform")
+    _, _, _, _, cs2, _, _ = build_model(cfg2, "uniform")
     with pytest.raises(ValueError, match="shape"):
         read_restart(p, cs2)
 
