@@ -2,6 +2,7 @@
 
 import dataclasses
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -38,6 +39,7 @@ def _open_cfg(**pmc):
     )
 
 
+@pytest.mark.slow
 def test_open_bc_blob_exits_and_background_fills():
     cfg = _open_cfg()
     grid = make_grid(cfg)
@@ -74,6 +76,7 @@ def test_open_bc_blob_exits_and_background_fills():
     assert o3[:, :, 0].min() > 35.0
 
 
+@pytest.mark.slow
 def test_seasalt_source_adds_na_cl():
     cfg = _open_cfg(seasalt_param=1)
     cfg = cfg.replace(boundary=BoundaryConfig())   # periodic again

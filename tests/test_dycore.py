@@ -22,6 +22,7 @@ def _run(state, grid, cfg, n):
     return out
 
 
+@pytest.mark.slow
 def test_uniform_case_translates_blob():
     cfg = uniform_test_config()
     cfg = cfg.replace(domain=DomainConfig(nx=40, ny=40, nz=4, dx=2000.0, dy=2000.0))
@@ -47,6 +48,7 @@ def test_uniform_case_translates_blob():
     assert qf.min() >= -1e-3
 
 
+@pytest.mark.slow
 def test_rotational_cone_returns_home():
     cfg = uniform_test_config()
     cfg = cfg.replace(domain=DomainConfig(nx=48, ny=48, nz=2, dx=2000.0, dy=2000.0))
@@ -64,6 +66,7 @@ def test_rotational_cone_returns_home():
     assert qf.min() >= -1e-3
 
 
+@pytest.mark.slow
 def test_half_rotation_moves_cone_opposite():
     cfg = uniform_test_config()
     cfg = cfg.replace(domain=DomainConfig(nx=48, ny=48, nz=2, dx=2000.0, dy=2000.0))
@@ -79,6 +82,7 @@ def test_half_rotation_moves_cone_opposite():
     assert abs(imax - 24) <= 2 and abs(jmax - 12) <= 2, (imax, jmax)
 
 
+@pytest.mark.slow
 def test_acoustic_core_stable_at_rest():
     """Atmosphere at rest stays at rest (no spurious modes)."""
     cfg = Config(domain=DomainConfig(nx=16, ny=16, nz=8, dx=2000.0, dy=2000.0),
@@ -92,6 +96,7 @@ def test_acoustic_core_stable_at_rest():
     assert float(jnp.max(jnp.abs(sf.p_p))) < 1.0
 
 
+@pytest.mark.slow
 def test_warm_bubble_rises():
     cfg = Config(domain=DomainConfig(nx=20, ny=20, nz=10, dx=1000.0, dy=1000.0,
                                      ztop=10000.0),
@@ -114,6 +119,7 @@ def test_warm_bubble_rises():
     assert zcf > zc0 + 50.0, (zc0, zcf)
 
 
+@pytest.mark.slow
 def test_energy_bounded_with_random_noise():
     """Random initial noise does not blow up (acoustic damping working)."""
     cfg = Config(domain=DomainConfig(nx=16, ny=16, nz=8, dx=2000.0, dy=2000.0),
@@ -134,6 +140,7 @@ def test_energy_bounded_with_random_noise():
     assert kef < 10.0 * ke0
 
 
+@pytest.mark.slow
 def test_rayleigh_damping_suppresses_top_w():
     """damp_opt: upper-level implicit Rayleigh damping reduces |w| in the
     damping layer relative to the undamped run (module_damping_em)."""
@@ -165,6 +172,7 @@ def test_rayleigh_damping_suppresses_top_w():
 
 # ----------------------- 1.5-order TKE closure (km_opt=2) ------------------
 
+@pytest.mark.slow
 def test_tke_closure_shear_production_and_stability():
     """Sheared flow grows subgrid TKE; the derived K_h is positive and the
     dycore stays finite over several steps (module_diffusion_em km_opt=2)."""

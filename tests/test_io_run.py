@@ -58,6 +58,7 @@ def test_namelist_parser_wrf_style():
     assert cfg.domain.nx == 40 and cfg.partmc.num_particles == 1000
 
 
+@pytest.mark.slow
 def test_runner_with_history_and_outputs(tmp_path):
     from wrf_partmc_tpu.run import run
 
@@ -81,6 +82,7 @@ def test_runner_with_history_and_outputs(tmp_path):
     f.close()
 
 
+@pytest.mark.slow
 def test_restart_roundtrip_bitwise(tmp_path):
     """Counter-based RNG keyed on the step counter makes restart exact:
     5 steps + restart + 5 steps == 10 straight steps."""

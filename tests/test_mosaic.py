@@ -163,6 +163,7 @@ def test_mosaic_timestep_changes_mixing_state():
     assert so4_total > np.asarray(aero.vol)[AD.spec_by_name("SO4"), :].sum()
 
 
+@pytest.mark.slow
 def test_coupled_step_with_cbmz():
     """End-to-end coupled_step with do_mosaic + the full 77-species registry
     (the reference's chem_opt=777 + do_mosaic=.true. configuration)."""

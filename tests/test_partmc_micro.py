@@ -4,6 +4,7 @@ shape, mixing-state metrics, and the jitted box-model driver."""
 
 import dataclasses
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -158,6 +159,7 @@ def test_mixing_state_internal_vs_external():
     assert dg_e > 1.5
 
 
+@pytest.mark.slow
 def test_process_diagnostics_shapes_and_sums():
     st = _populate(128, 96, 1e9, cell_shape=(5,))
     bg = make_bin_grid(40, 1e-9, 1e-5)

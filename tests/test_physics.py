@@ -2,6 +2,7 @@
 
 import dataclasses
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -51,6 +52,7 @@ def test_refractive_index_mixing():
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_bulk_optics_physical():
     st = _pop("SO4")
     dz = jnp.full((2,), 500.0)
@@ -68,6 +70,7 @@ def test_bulk_optics_physical():
     assert w_bc.mean() < 0.75
 
 
+@pytest.mark.slow
 def test_kessler_conserves_water_and_heats():
     cfg = Config(domain=DomainConfig(nx=8, ny=8, nz=8, dx=1000.0, ztop=8000.0),
                  dynamics=DynamicsConfig(dt=5.0, n_sound=4, mp_physics=1))
@@ -154,6 +157,7 @@ def test_ysu_exch_profile_shape():
     assert k_un[3, 2, 2] > k_st[3, 2, 2]
 
 
+@pytest.mark.slow
 def test_coupled_bl_physics_diagnosed_mixing():
     """bl_physics=1 end-to-end: coupled_step runs with flow-diagnosed
     surface layer + exch_h (prescribed argument ignored)."""

@@ -3,6 +3,7 @@ gray LW with the PartMC aerosol direct effect (reference:
 ``phys/module_radiation_driver.F`` + the do_optical coupling,
 ``wrf_pmc_driver.F90:2025-2097``)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -91,6 +92,7 @@ def test_radiation_driver_composes():
     assert np.isfinite(np.asarray(hr)).all()
 
 
+@pytest.mark.slow
 def test_coupled_step_with_radiation_and_optics():
     """ra_physics=1 + do_optical end-to-end inside coupled_step."""
     import dataclasses

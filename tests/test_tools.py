@@ -1,5 +1,6 @@
 """Input tooling roundtrips (make_ics / make_bcs / make_emissions equiv)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -87,6 +88,7 @@ def test_bcs_roundtrip(tmp_path):
     assert d2.num_conc.shape == (2, nz, M)
 
 
+@pytest.mark.slow
 def test_file_driven_init_end_to_end(tmp_path):
     """init_from_files + runner: the real-data init branch of
     init_wrf_partmc (ICs sampled, emission series live, BC background by

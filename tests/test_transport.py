@@ -4,6 +4,7 @@ NUM_CONC tracer field Eulerian-ly, and the particle field must track it."""
 
 import dataclasses
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -55,6 +56,7 @@ def _tracer_conc(cs, grid):
     return np.asarray(cs.dyn.num_conc[0] * air / grid.cell_volume.reshape(-1, 1, 1))
 
 
+@pytest.mark.slow
 def test_uniform_particles_track_eulerian_tracer():
     cfg = _cfg()
     grid = make_grid(cfg)
@@ -85,6 +87,7 @@ def test_uniform_particles_track_eulerian_tracer():
     np.testing.assert_allclose(com(pc), com(tc), atol=0.6)
 
 
+@pytest.mark.slow
 def test_rotational_particles_track_cone():
     cfg = _cfg(nx=24, ny=24, nz=2, n_part=48, cap=144)
     grid = make_grid(cfg)
@@ -122,6 +125,7 @@ def test_vertical_operator_row_stochastic_and_mixing():
     assert off.sum() > 0.05
 
 
+@pytest.mark.slow
 def test_vertical_mixing_spreads_particles():
     cfg = _cfg(nx=8, ny=8, nz=6, n_part=64, cap=192, ztop=1200.0)
     cfg = cfg.replace(partmc=dataclasses.replace(cfg.partmc, do_transport=True))
@@ -147,6 +151,7 @@ def test_vertical_mixing_spreads_particles():
     assert (proff * z).sum() / proff.sum() > (prof0 * z).sum() / prof0.sum()
 
 
+@pytest.mark.slow
 def test_rebucket_conserves_and_places():
     cfg = _cfg(nx=4, ny=4, nz=2, n_part=8, cap=16)
     grid = make_grid(cfg)
@@ -171,6 +176,7 @@ def test_rebucket_conserves_and_places():
                                float(aero.total_num().sum()), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_transport_matches_global_statistics(mesh8):
     """transport_step_sharded on the 2x4 virtual mesh: total represented
     number conserved (periodic), particle cloud tracks the same advection as
@@ -215,6 +221,7 @@ def test_sharded_transport_matches_global_statistics(mesh8):
     assert corr > 0.95, corr
 
 
+@pytest.mark.slow
 def test_sharded_transport_open_boundary_outflow(mesh8):
     """Open boundaries: particles advected across the global edge leave the
     domain (outflow-discard, wrf_pmc_trans_aero.F90:811-955), including
