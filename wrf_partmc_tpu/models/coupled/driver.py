@@ -185,8 +185,13 @@ def surface_deposition(aero: AeroState, env: EnvState, aero_data: AeroData,
 
 def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
                  aero_data: AeroData, gas_data: GasData, scn: Scenario,
-                 exch_h, base_seed_key) -> CoupledState:
-    """One full coupled timestep (one iteration of integrate's while loop)."""
+                 exch_h, base_seed_key, mesh=None) -> CoupledState:
+    """One full coupled timestep (one iteration of integrate's while loop).
+
+    ``mesh``: optional 2-D ('y','x') jax.sharding.Mesh.  When given, particle
+    transport runs the production sharded ICI face-buffer path
+    (``transport_step_sharded``); dycore/chemistry stay GSPMD-sharded either
+    way."""
     pc = cfg.partmc
     dt = cfg.dynamics.dt
     m_chem = max(1, int(round(pc.partmc_chem_dt / dt)))
@@ -266,7 +271,7 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
     # stochastic transport (+ deposition at the surface layer)
     if pc.do_transport:
         aero = transport_step(aero, diag.probs, diag.xkhh, exch_h, grid, cfg,
-                              dt, keys[rng.STREAM_TRANSPORT])
+                              dt, keys[rng.STREAM_TRANSPORT], mesh=mesh)
 
     # open lateral boundaries: inflow background resampling + gas BCs
     if not (cfg.boundary.periodic_x and cfg.boundary.periodic_y):
@@ -297,12 +302,13 @@ def init_coupled(cfg: Config, grid: Grid, aero_data: AeroData,
 
 def run_coupled(cs: CoupledState, grid: Grid, cfg: Config,
                 aero_data: AeroData, gas_data: GasData, scn: Scenario,
-                exch_h, n_steps: int, seed: int = 0) -> CoupledState:
+                exch_h, n_steps: int, seed: int = 0,
+                mesh=None) -> CoupledState:
     key = rng.base_key(seed)
 
     def body(c, _):
         return coupled_step(c, grid, cfg, aero_data, gas_data, scn, exch_h,
-                            key), None
+                            key, mesh=mesh), None
 
     out, _ = lax.scan(body, cs, None, length=n_steps)
     return out
