@@ -1,0 +1,114 @@
+"""Implicit vertical diffusion of Eulerian fields (module_diffusion_em
+vertical path) + consistency with the particle vertical operator: gases and
+particles mixed by the same exch_h must evolve the same column profile
+(VERDICT r1 weak #4 — 'particles and their own carrier gases feel different
+atmospheres')."""
+
+import dataclasses
+
+import pytest
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wrf_partmc_tpu.config import DomainConfig, PartmcConfig, uniform_test_config
+from wrf_partmc_tpu.grid import make_grid
+from wrf_partmc_tpu.models.dycore.state import base_profiles
+from wrf_partmc_tpu.ops.vdiff import diffuse_column, vdiff_coeffs
+
+
+def _grid(nz=8, ztop=1600.0):
+    cfg = uniform_test_config().replace(
+        domain=DomainConfig(nx=4, ny=4, nz=nz, dx=2000.0, dy=2000.0,
+                            ztop=ztop))
+    return cfg, make_grid(cfg)
+
+
+def test_vdiff_conserves_and_smooths():
+    cfg, grid = _grid()
+    rho_b, _, _ = base_profiles(grid)
+    kv = jnp.full((grid.nz + 1, grid.ny, grid.nx), 50.0, jnp.float32)
+    dl, d, du = vdiff_coeffs(kv, grid, rho_b, dt=60.0)
+    f = jnp.zeros((grid.nz, grid.ny, grid.nx)).at[0].set(10.0)
+    g = f
+    for _ in range(50):
+        g = diffuse_column(g, dl, d, du)
+    w = (rho_b * grid.dz).reshape(-1, 1, 1)
+    col0 = float((f * w).sum())
+    col1 = float((g * w).sum())
+    # rho-weighted column integral conserved (zero-flux boundaries)
+    np.testing.assert_allclose(col1, col0, rtol=1e-4)
+    gn = np.asarray(g)
+    assert gn[0, 0, 0] < 10.0 * 0.9            # surface value mixed down
+    assert gn[-1, 0, 0] > 1e-3                 # signal reached the top
+    # monotone decrease in variance (diffusion)
+    assert gn.std(axis=0).max() < np.asarray(f).std(axis=0).max()
+
+
+def test_vdiff_leading_dims_match_3d():
+    cfg, grid = _grid(nz=5)
+    rho_b, _, _ = base_profiles(grid)
+    kv = jnp.full((grid.nz + 1, grid.ny, grid.nx), 20.0, jnp.float32)
+    dl, d, du = vdiff_coeffs(kv, grid, rho_b, dt=30.0)
+    f = jax.random.uniform(jax.random.key(0), (3, grid.nz, grid.ny, grid.nx))
+    out4 = diffuse_column(f, dl, d, du)
+    for i in range(3):
+        out3 = diffuse_column(f[i], dl, d, du)
+        np.testing.assert_allclose(np.asarray(out4[i]), np.asarray(out3),
+                                   rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_gas_and_particles_mix_consistently():
+    """GABLS-like SCM column: a surface-confined gas tracer and a
+    surface-confined particle population, mixed by the SAME exch_h, end with
+    the same normalized vertical profile (statistical tolerance for the MC
+    particles)."""
+    from wrf_partmc_tpu.models.coupled.driver import (CoupledState,
+                                                      run_coupled)
+    from wrf_partmc_tpu.models.coupled.init import populate_from_number_field
+    from wrf_partmc_tpu.models.dycore.state import zero_dycore_state
+    from wrf_partmc_tpu.models.partmc.aero_data import make_aero_data
+    from wrf_partmc_tpu.models.partmc.gas_data import make_gas_data
+    from wrf_partmc_tpu.models.partmc.scenario import constant_scenario
+    from wrf_partmc_tpu.models.partmc.dist import make_mode
+
+    AD, GD = make_aero_data(), make_gas_data()
+    cfg = uniform_test_config().replace(
+        domain=DomainConfig(nx=6, ny=6, nz=8, dx=2000.0, dy=2000.0,
+                            ztop=1600.0),
+        partmc=PartmcConfig(num_particles=64, max_particles=192,
+                            do_coagulation=False, do_emission=False,
+                            do_deposition=False, do_transport=True),
+    )
+    # live dynamics but a quiescent atmosphere (zero perturbations): the only
+    # evolution is the vertical mixing of tracer + particles
+    cfg = cfg.replace(dynamics=dataclasses.replace(
+        cfg.dynamics, constant_velocity=False, n_sound=2))
+    grid = make_grid(cfg)
+    dyn = zero_dycore_state(cfg, grid)
+    conc = jnp.zeros((grid.nz, grid.ny, grid.nx)).at[0].set(1e9)
+    aero = populate_from_number_field(AD, cfg, grid, conc, jax.random.key(7))
+    gas = jnp.zeros((grid.nz, grid.ny, grid.nx, GD.n_spec))
+    gas = gas.at[0, :, :, 0].set(1000.0)          # surface-confined tracer
+    cs = CoupledState(dyn=dyn, aero=aero, gas=gas,
+                      step=jnp.asarray(0, jnp.int32))
+    exch = jnp.full((grid.nz + 1, grid.ny, grid.nx), 80.0, jnp.float32)
+    vf = np.zeros(AD.n_spec)
+    vf[0] = 1.0
+    scn = constant_scenario(AD, GD.n_spec, make_mode(0.0, 1e-7, 1.6, vf))
+    out = jax.jit(lambda c: run_coupled(c, grid, cfg, AD, GD, scn, exch,
+                                        40))(cs)
+
+    gp = np.asarray(out.gas[..., 0]).sum(axis=(1, 2))
+    pp = np.asarray(out.aero.total_num()).sum(axis=(1, 2))
+    gp = gp / gp.sum()
+    pp = pp / pp.sum()
+    # both mixed upward out of the surface layer
+    assert gp[0] < 0.9 and pp[0] < 0.9
+    assert gp[1:].sum() > 0.1 and pp[1:].sum() > 0.1
+    # same column evolution: profiles agree within MC noise
+    corr = np.corrcoef(gp, pp)[0, 1]
+    assert corr > 0.98, (corr, gp, pp)
+    z = np.asarray(grid.z_half)
+    np.testing.assert_allclose((gp * z).sum(), (pp * z).sum(), rtol=0.15)

@@ -74,6 +74,11 @@ class DynamicsConfig:
     sfc_z0: float = 0.1              # roughness length [m] (znt)
     sfc_heat_excess: float = 1.0     # idealized daytime skin-theta excess [K]
                                      # (scaled by cos zenith; slab LSM later)
+    vert_diff_fields: bool = True    # implicit vertical diffusion of
+                                     # u/v/theta/moist/chem/tke from exch_h
+                                     # (module_diffusion_em vertical path via
+                                     # first_rk_step_part1.F:840); particles
+                                     # always mix via the transport operator
 
 
 @dataclass(frozen=True)

@@ -202,14 +202,13 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
     # partmc_to_wrf + dynamics/advection
     dyn = partmc_to_wrf(cs, grid, cfg)
     dyn2, diag = solve_step(dyn, grid, cfg)
-    gas = partmc_from_wrf(dyn2)
 
-    env = make_env(dyn2, grid, cfg, cs.step)
     aero = cs.aero
     t = cs.step.astype(jnp.float32) * dt
 
     # surface layer + PBL diagnosis (sfclay + bl_ysu equivalents): replaces
     # the prescribed exch_h/ustar with flow-diagnosed fields every step
+    sfc_ustar = None
     if cfg.dynamics.bl_physics == 1:
         from ...ops.stencil import AXIS_X, AXIS_Y, shift
         from ..partmc.cbmz import cos_zenith
@@ -228,8 +227,27 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
                             z0=cfg.dynamics.sfc_z0)
         h_pbl = pbl_height(theta, grid.z_half)
         exch_h = ysu_exch_h(grid, sfc["ustar"], sfc["rmol"], h_pbl)
+        sfc_ustar = sfc["ustar"]
+
+    # implicit vertical diffusion of all Eulerian fields from the same
+    # exch_h the particle vertical operator consumes (module_diffusion_em
+    # vertical path, driven from first_rk_step_part1.F:840) — particles and
+    # carrier gases mix through the same column operator
+    if cfg.dynamics.vert_diff_fields and not cfg.dynamics.constant_velocity:
+        from ...ops.vdiff import vertical_diffusion_state
+        from ..dycore.state import base_profiles as _bp
+
+        rho_b, _, _ = _bp(grid)
+        kv = exch_h
+        if cfg.dynamics.diff_opt == 1 and cfg.dynamics.kvdif > 0:
+            kv = kv + cfg.dynamics.kvdif
+        dyn2 = vertical_diffusion_state(dyn2, kv, grid, rho_b, dt)
+
+    gas = partmc_from_wrf(dyn2)
+    env = make_env(dyn2, grid, cfg, cs.step)
+    if sfc_ustar is not None:
         env = dataclasses.replace(
-            env, ustar=jnp.broadcast_to(sfc["ustar"], env.temp.shape))
+            env, ustar=jnp.broadcast_to(sfc_ustar, env.temp.shape))
 
     # microphysics on the chem_dt cadence
     if (pc.do_coagulation or pc.do_emission or pc.do_condensation
