@@ -203,17 +203,31 @@ def test_coupled_step_with_cbmz():
     key = rng.base_key(0)
     step = jax.jit(lambda s: coupled_step(s, grid, cfg, AD, GD, scn, exch,
                                           key))
+    # paired twin with chemistry OFF and identical RNG streams: the MC
+    # transport/rebalance noise (unbiased but several % per halving event)
+    # cancels between the runs, isolating the chemistry signal
+    cfg_off = cfg.replace(partmc=dataclasses.replace(cfg.partmc,
+                                                     do_mosaic=False))
+    step_off = jax.jit(lambda s: coupled_step(s, grid, cfg_off, AD, GD, scn,
+                                              exch, key))
     out = cs
+    out_off = cs
     for _ in range(7):
         out = step(out)
+        out_off = step_off(out_off)
     assert bool(jnp.isfinite(out.gas).all())
     assert bool(jnp.isfinite(out.aero.vol).all())
     assert float(out.gas.min()) >= 0.0
-    # chemistry actually ran: sulfate mass grew from SO2 oxidation + H2SO4
-    so4 = AD.spec_by_name("SO4")
-    m0 = float((aero.vol[..., so4, :] * aero.num).sum())
-    m1 = float((out.aero.vol[..., so4, :] * out.aero.num).sum())
-    assert m1 > m0
+    # chemistry actually ran: secondary ammonium condensed onto the (pure
+    # sulfate) particles — zero in the chemistry-off twin; and gas-phase
+    # photochemistry moved O3 away from the twin
+    nh4 = AD.spec_by_name("NH4")
+    m_on = float((out.aero.vol[..., nh4, :] * out.aero.num).sum())
+    m_off = float((out_off.aero.vol[..., nh4, :] * out_off.aero.num).sum())
+    assert m_on > m_off + 1e-6, (m_on, m_off)
+    d_o3 = float(jnp.abs(out.gas[..., IDX["O3"]]
+                         - out_off.gas[..., IDX["O3"]]).max())
+    assert d_o3 > 0.1, d_o3
 
 
 def test_batched_cells():

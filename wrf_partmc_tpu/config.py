@@ -40,6 +40,10 @@ class DynamicsConfig:
     """&dynamics equivalent (``namelist.input:72-97``)."""
 
     dt: float = 10.0              # model timestep [s]
+    dyn_opt: str = "arw"          # "arw": full mass-coordinate nonhydrostatic
+                                  # core (prognostic mu/phi, terrain,
+                                  # models/dycore/arw.py); "linear": round-1
+                                  # flat-terrain quasi-compressible p' core
     rk_order: int = 3             # Runge-Kutta order (solve_em.F:510)
     n_sound: int = 4              # acoustic substeps per RK3 full step
     h_adv_order: int = 5          # horizontal advection order

@@ -61,6 +61,34 @@ class CoupledState:
     step: jax.Array          # scalar int32
 
 
+def cell_air_mass(dyn: DycoreState, grid: Grid):
+    """[nz, ny, nx] dry-air mass per cell [kg] (get_grid_cell_volume +
+    the x alt actual-density coupling, ``wrf_pmc_driver.F90:1710-1716,2002``).
+    Under the mass-coordinate core this is exact: m = mu_d deta dA / g."""
+    if dyn.mu is not None:
+        mu_d = grid.mub + dyn.mu
+        from ... import constants as c
+
+        return (mu_d[None] * grid.deta.reshape(-1, 1, 1) / c.GRAV
+                * (grid.dx * grid.dy))
+    rho_b, _, _ = base_profiles(grid)
+    return jnp.broadcast_to((grid.cell_volume * rho_b).reshape(-1, 1, 1),
+                            dyn.theta_p.shape)
+
+
+def cell_volume_3d(dyn: DycoreState, grid: Grid):
+    """[nz, ny, nx] actual grid-cell volume [m3] from the geopotential
+    (mass-coordinate core) or the base-state layer depths."""
+    if dyn.ph is not None:
+        from ... import constants as c
+
+        phi = grid.phb + dyn.ph
+        dz = (phi[1:] - phi[:-1]) / c.GRAV
+        return dz * (grid.dx * grid.dy)
+    return jnp.broadcast_to(grid.cell_volume.reshape(-1, 1, 1),
+                            dyn.theta_p.shape)
+
+
 def make_env(dyn: DycoreState, grid: Grid, cfg: Config, step,
              ustar=0.3) -> EnvState:
     """wrf_to_partmc: per-cell environment from the dycore state
@@ -68,9 +96,14 @@ def make_env(dyn: DycoreState, grid: Grid, cfg: Config, step,
     temp = temperature(dyn, grid)
     pres = total_pressure(dyn, grid)
     rh = relative_humidity(dyn.moist[0], temp, pres)
-    vol = jnp.broadcast_to(grid.cell_volume.reshape(-1, 1, 1),
-                           temp.shape).astype(jnp.float32)
-    z = jnp.broadcast_to(grid.z_half.reshape(-1, 1, 1), temp.shape)
+    vol = cell_volume_3d(dyn, grid).astype(jnp.float32)
+    if dyn.ph is not None:
+        from ... import constants as c
+
+        phi = grid.phb + dyn.ph
+        z = (0.5 * (phi[1:] + phi[:-1]) / c.GRAV).astype(jnp.float32)
+    else:
+        z = jnp.broadcast_to(grid.z_half.reshape(-1, 1, 1), temp.shape)
     return EnvState(temp=temp, pressure=pres, rel_humid=rh, height=z,
                     cell_volume=vol,
                     ustar=jnp.full(temp.shape, ustar, jnp.float32),
@@ -79,9 +112,10 @@ def make_env(dyn: DycoreState, grid: Grid, cfg: Config, step,
 
 def partmc_to_wrf(cs: CoupledState, grid: Grid, cfg: Config) -> DycoreState:
     """Copy particle number (per class) and gases into the Eulerian tracers
-    (``partmc_to_wrf``, ``wrf_pmc_driver.F90:1663-1716``)."""
-    rho_b, _, _ = base_profiles(grid)
-    air_mass = (grid.cell_volume * rho_b).reshape(-1, 1, 1)       # [nz,1,1] kg
+    (``partmc_to_wrf``, ``wrf_pmc_driver.F90:1663-1716``).  The number
+    tracers are coupled by the *actual* per-cell air mass (the reference's
+    N x weight x alt with alt = 1/rho, not base-state density)."""
+    air_mass = cell_air_mass(cs.dyn, grid)                        # [nz,ny,nx]
     nbc = cs.aero.num_by_class(cfg.n_class)                       # [nz,ny,nx,C]
     num_tr = jnp.moveaxis(nbc, -1, 0) / air_mass                  # [C,nz,ny,nx] #/kg
     chem = jnp.moveaxis(cs.gas, -1, 0) / 1000.0                   # ppb -> ppm

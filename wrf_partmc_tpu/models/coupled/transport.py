@@ -196,10 +196,12 @@ def preweight_acceptance(aero: AeroState, ph, R, grid: Grid, cfg: Config):
 
     n_in = jnp.sum(arr_v + arr_xm + arr_xp + arr_ym + arr_yp,
                    axis=0) - n_keep
-    pc = cfg.partmc
-    bound = min(float(pc.weight_rescale_trigger) * pc.num_particles,
-                0.95 * aero.capacity)
-    free = jnp.maximum(bound - n_keep, 0.0)
+    # Bound the expected arrivals by the remaining *capacity*: populations
+    # legitimately sit anywhere up to ~2 n_ideal between rebalance halvings
+    # (the scale_weight role is played by rebalance), so only the static
+    # bucket size may thin movers.  Using trigger*n_ideal here would floor
+    # the acceptance in ordinary flow whenever emissions fill a cell.
+    free = jnp.maximum(0.95 * aero.capacity - n_keep, 0.0)
     acc = jnp.where(n_in > free, free / jnp.maximum(n_in, 1e-6), 1.0)
     return jnp.maximum(acc, 1.0 / 64.0)
 

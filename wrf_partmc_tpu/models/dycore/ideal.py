@@ -93,3 +93,60 @@ def init_scm(cfg: Config, grid: Grid, u0=5.0, exch_h0=50.0) -> DycoreState:
     arrives with the physics suite; ``test/em_scm_xy/README.scm``)."""
     s = zero_dycore_state(cfg, grid)
     return replace(s, u=jnp.full_like(s.u, u0))
+
+
+# ---------------------------------------------------------------------------
+# mass-coordinate (ARW, dyn_opt="arw") case initializers
+# ---------------------------------------------------------------------------
+
+def arw_rest_state(cfg: Config, grid: Grid) -> DycoreState:
+    """State exactly at the (terrain-following) hydrostatic base state:
+    mu' = 0, phi' = 0, theta' = 0, at rest.  The well-balancedness reference
+    for the mass-coordinate core."""
+    s = zero_dycore_state(cfg, grid)
+    return replace(s, mu=jnp.zeros((grid.ny, grid.nx), jnp.float32),
+                   ph=jnp.zeros((grid.nz + 1, grid.ny, grid.nx), jnp.float32))
+
+
+def hill_terrain(cfg: Config, h0=400.0, half_width_frac=0.15,
+                 x0_frac=0.5, y0_frac=0.5, ridge=False):
+    """[ny, nx] Witch-of-Agnesi hill (or y-invariant ridge) — the terrain of
+    the classic mountain-wave / hill test cases (module_initialize_hill2d
+    analogue)."""
+    import numpy as np
+
+    d = cfg.domain
+    x = (np.arange(d.nx) + 0.5) * d.dx
+    y = (np.arange(d.ny) + 0.5) * d.dy
+    lx, ly = d.nx * d.dx, d.ny * d.dy
+    a = half_width_frac * lx
+    dx2 = (x[None, :] - x0_frac * lx) ** 2
+    if ridge:
+        r2 = dx2 + 0.0 * y[:, None]
+    else:
+        r2 = dx2 + (y[:, None] - y0_frac * ly) ** 2
+    return h0 / (1.0 + r2 / a ** 2)
+
+
+def init_warm_bubble_arw(cfg: Config, grid: Grid, d_theta=2.0,
+                         radius_frac=0.12, z_center=1500.0,
+                         z_radius=1000.0) -> DycoreState:
+    """Warm bubble on the mass-coordinate core (em_quarter_ss-class thermal).
+    The initial mu'/phi' are left zero: the theta perturbation enters the EOS
+    and the acoustic step adjusts within the first substeps (the reference's
+    ideal init rebalances; the transient here is small and absorbed)."""
+    s = arw_rest_state(cfg, grid)
+    blob = gaussian_blob(grid, 0.5, 0.5, radius_frac, 1.0)
+    zc = (0.5 * (grid.phb[1:] + grid.phb[:-1]) / 9.81)        # [nz, ny, nx]
+    zfac = jnp.exp(-0.5 * ((zc - z_center) / z_radius) ** 2)
+    return replace(s, theta_p=(d_theta * blob[None] * zfac).astype(jnp.float32))
+
+
+def init_density_current_arw(cfg: Config, grid: Grid, d_theta=-6.0,
+                             z_center=3000.0, z_radius=2000.0,
+                             radius_frac=0.1) -> DycoreState:
+    """Straka-style density current: a cold blob aloft collapses and spreads
+    along the ground — the classic nonhydrostatic stability benchmark."""
+    return init_warm_bubble_arw(cfg, grid, d_theta=d_theta,
+                                radius_frac=radius_frac, z_center=z_center,
+                                z_radius=z_radius)

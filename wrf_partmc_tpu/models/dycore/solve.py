@@ -329,7 +329,15 @@ def dyn_step(state: DycoreState, grid: Grid, cfg: Config) -> DycoreState:
 
 def solve_step(state: DycoreState, grid: Grid, cfg: Config):
     """One full dycore timestep: dynamics + scalar families with per-class
-    flux capture.  Returns (new_state, StepDiag)."""
+    flux capture.  Returns (new_state, StepDiag).
+
+    Dispatches on ``dynamics.dyn_opt``: "arw" (full mass-coordinate core,
+    the production path) requires state.mu/state.ph; "linear" is the round-1
+    flat-terrain quasi-compressible core kept for parity tests."""
+    if cfg.dynamics.dyn_opt == "arw" and state.mu is not None:
+        from .arw import solve_step_arw
+
+        return solve_step_arw(state, grid, cfg)
     dyn = cfg.dynamics
     bx, by = _bc_pair(cfg)
     rho_b, _, _ = base_profiles(grid)

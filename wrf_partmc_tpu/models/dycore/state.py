@@ -40,6 +40,13 @@ class DycoreState:
     tke: jax.Array        # [nz, ny, nx] subgrid turbulent kinetic energy
                           # [m2 s-2] (prognostic when km_opt=2, the 1.5-order
                           # closure of module_diffusion_em)
+    # mass-coordinate (ARW) core prognostics (dyn_opt="arw"; None under the
+    # linearized core).  theta_p is then the perturbation from grid.t_base
+    # and p_p the EOS-diagnosed pressure perturbation.
+    mu: jax.Array | None = None   # [ny, nx] dry column-mass perturbation [Pa]
+                                  # (advance_mu_t prognostic, solve_em.F:1441)
+    ph: jax.Array | None = None   # [nz+1, ny, nx] geopotential perturbation
+                                  # [m2 s-2] (the phi prognostic)
 
     @property
     def nz(self) -> int:
@@ -49,6 +56,7 @@ class DycoreState:
 def zero_dycore_state(cfg: Config, grid: Grid) -> DycoreState:
     nz, ny, nx = grid.nz, grid.ny, grid.nx
     z = lambda *s: jnp.zeros(s, jnp.float32)
+    arw = cfg.dynamics.dyn_opt == "arw"
     return DycoreState(
         u=z(nz, ny, nx), v=z(nz, ny, nx), w=z(nz + 1, ny, nx),
         theta_p=z(nz, ny, nx), p_p=z(nz, ny, nx),
@@ -56,6 +64,8 @@ def zero_dycore_state(cfg: Config, grid: Grid) -> DycoreState:
         chem=z(cfg.n_chem_gas, nz, ny, nx),
         num_conc=z(cfg.n_class, nz, ny, nx),
         tke=jnp.full((nz, ny, nx), cfg.dynamics.tke_seed, jnp.float32),
+        mu=z(ny, nx) if arw else None,
+        ph=z(nz + 1, ny, nx) if arw else None,
     )
 
 

@@ -123,6 +123,18 @@ def _zero_boundary_vertical_flux(flux_w):
     return jnp.where((k == 0) | (k == nzp1 - 1), 0.0, flux_w)
 
 
+
+def _as_col(rho):
+    """Density-like coefficient: [nz] column profile -> [nz,1,1]; [ny,nx]
+    column mass (the mu-coupling of the mass-coordinate core) -> [1,ny,nx];
+    3-D passes through."""
+    rho = jnp.asarray(rho)
+    if rho.ndim == 1:
+        return rho.reshape(-1, 1, 1)
+    if rho.ndim == 2:
+        return rho[None]
+    return rho
+
 def face_fluxes(q, rho_u, rho_v, rho_w, h_order: int, v_order: int,
                 bc_x: str = "periodic", bc_y: str = "periodic"):
     """High-order tracer fluxes on all faces.
@@ -170,7 +182,7 @@ class OutflowProbs:
 def advect_pd(q, rho_u, rho_v, rho_w, rho, dt, rdx, rdy, rdz,
               h_order: int = 5, v_order: int = 3,
               bc_x: str = "periodic", bc_y: str = "periodic",
-              w_prob_cap: float = 0.95, q_stage=None):
+              w_prob_cap: float = 0.95, q_stage=None, rho_new=None):
     """Positive-definite flux-limited advection step with flux capture.
 
     q: [*, nz, ny, nx] mixing ratio at time t (the field updated and the PD
@@ -188,12 +200,15 @@ def advect_pd(q, rho_u, rho_v, rho_w, rho, dt, rdx, rdy, rdz,
     """
     if q_stage is None:
         q_stage = q
-    rho_c = rho.reshape(-1, 1, 1)
+    rho_c = _as_col(rho)
+    rho_n = rho_c if rho_new is None else _as_col(rho_new)
     fx_h, fy_h, fz_h = face_fluxes(q_stage, rho_u, rho_v, rho_w, h_order, v_order, bc_x, bc_y)
     fx_l, fy_l, fz_l = face_fluxes(q, rho_u, rho_v, rho_w, 1, 1, bc_x, bc_y)
     fz_l = _zero_boundary_vertical_flux(fz_l)
 
-    q_td = q - dt * flux_divergence(fx_l, fy_l, fz_l, rdx, rdy, rdz) / rho_c
+    # (rho_n q_td - rho_c q)/dt = -div F_low: exact discrete mass continuity
+    # when the mass fluxes satisfy (rho_n - rho_c)/dt = -div(mass)
+    q_td = (rho_c * q - dt * flux_divergence(fx_l, fy_l, fz_l, rdx, rdy, rdz)) / rho_n
     q_td = jnp.maximum(q_td, 0.0)   # guard roundoff
 
     ax, ay, az = fx_h - fx_l, fy_h - fy_l, fz_h - fz_l
@@ -212,7 +227,7 @@ def advect_pd(q, rho_u, rho_v, rho_w, rho, dt, rdx, rdy, rdz,
              + jnp.maximum(-az[..., :-1, :, :], 0.0)) * rdz.reshape(-1, 1, 1)
     out_total = out_x + out_y + out_z                       # [*, nz, ny, nx]
 
-    avail = rho_c * q_td / dt
+    avail = rho_n * q_td / dt
     scale = jnp.where(out_total > 0.0, jnp.minimum(1.0, avail / jnp.maximum(out_total, 1e-30)), 1.0)
 
     def limit(a_face, axis):
@@ -227,7 +242,7 @@ def advect_pd(q, rho_u, rho_v, rho_w, rho, dt, rdx, rdy, rdz,
     az = jnp.where(az > 0.0, az * sc_pad[..., :-1, :, :], az * sc_pad[..., 1:, :, :])
     az = _zero_boundary_vertical_flux(az)
 
-    q_new = q_td - dt * flux_divergence(ax, ay, az, rdx, rdy, rdz) / rho_c
+    q_new = q_td - dt * flux_divergence(ax, ay, az, rdx, rdy, rdz) / rho_n
 
     fx_t, fy_t, fz_t = fx_l + ax, fy_l + ay, fz_l + az
     probs = capture_outflow_probs(q, fx_t, fy_t, fz_t, rho, dt, rdx, rdy, rdz,
@@ -238,7 +253,7 @@ def advect_pd(q, rho_u, rho_v, rho_w, rho, dt, rdx, rdy, rdz,
 def rk3_advect_pd(q, rho_u, rho_v, rho_w, rho, dt, rdx, rdy, rdz,
                   h_order: int = 5, v_order: int = 3,
                   bc_x: str = "periodic", bc_y: str = "periodic",
-                  w_prob_cap: float = 0.95):
+                  w_prob_cap: float = 0.95, rho_new=None):
     """Wicker-Skamarock RK3 scalar advection with PD limiting + flux capture
     on the final stage — the chem/moist advection path of one solve_em step
     (``solve_em.F:2514-2645``: per-RK-stage rk_scalar_tend, PD on the last).
@@ -246,7 +261,7 @@ def rk3_advect_pd(q, rho_u, rho_v, rho_w, rho, dt, rdx, rdy, rdz,
     Stages 1-2 are plain high-order flux-divergence estimates (dt/3, dt/2);
     stage 3 applies the PD-limited full-dt update to q^t using stage-2 fluxes.
     """
-    rho_c = rho.reshape(-1, 1, 1)
+    rho_c = _as_col(rho)
 
     def tend(qs):
         fx, fy, fz = face_fluxes(qs, rho_u, rho_v, rho_w, h_order, v_order, bc_x, bc_y)
@@ -255,13 +270,14 @@ def rk3_advect_pd(q, rho_u, rho_v, rho_w, rho, dt, rdx, rdy, rdz,
     q1 = q + (dt / 3.0) * tend(q)
     q2 = q + (dt / 2.0) * tend(q1)
     return advect_pd(q, rho_u, rho_v, rho_w, rho, dt, rdx, rdy, rdz,
-                     h_order, v_order, bc_x, bc_y, w_prob_cap, q_stage=q2)
+                     h_order, v_order, bc_x, bc_y, w_prob_cap, q_stage=q2,
+                     rho_new=rho_new)
 
 
 def advect_mono(q, rho_u, rho_v, rho_w, rho, dt, rdx, rdy, rdz,
                 h_order: int = 5, v_order: int = 3,
                 bc_x: str = "periodic", bc_y: str = "periodic",
-                w_prob_cap: float = 0.95, q_stage=None):
+                w_prob_cap: float = 0.95, q_stage=None, rho_new=None):
     """Monotonic flux-limited advection step with flux capture — the
     ``advect_scalar_mono`` path (``module_advect_em.F:9569-10865``,
     selected by chem_adv_opt=2 in the PartMC test namelists).
@@ -274,13 +290,14 @@ def advect_mono(q, rho_u, rho_v, rho_w, rho, dt, rdx, rdy, rdz,
     """
     if q_stage is None:
         q_stage = q
-    rho_c = rho.reshape(-1, 1, 1)
+    rho_c = _as_col(rho)
+    rho_n = rho_c if rho_new is None else _as_col(rho_new)
     fx_h, fy_h, fz_h = face_fluxes(q_stage, rho_u, rho_v, rho_w, h_order,
                                    v_order, bc_x, bc_y)
     fx_l, fy_l, fz_l = face_fluxes(q, rho_u, rho_v, rho_w, 1, 1, bc_x, bc_y)
     fz_l = _zero_boundary_vertical_flux(fz_l)
 
-    q_td = q - dt * flux_divergence(fx_l, fy_l, fz_l, rdx, rdy, rdz) / rho_c
+    q_td = (rho_c * q - dt * flux_divergence(fx_l, fy_l, fz_l, rdx, rdy, rdz)) / rho_n
     q_td = jnp.maximum(q_td, 0.0)
 
     ax, ay, az = fx_h - fx_l, fy_h - fy_l, fz_h - fz_l
@@ -323,10 +340,10 @@ def advect_mono(q, rho_u, rho_v, rho_w, rho, dt, rdx, rdy, rdz,
     p_out = out_x + out_y + out_z
 
     r_in = jnp.where(p_in > 0.0,
-                     jnp.minimum(1.0, rho_c * (q_max - q_td)
+                     jnp.minimum(1.0, rho_n * (q_max - q_td)
                                  / (dt * jnp.maximum(p_in, 1e-30))), 1.0)
     r_out = jnp.where(p_out > 0.0,
-                      jnp.minimum(1.0, rho_c * (q_td - q_min)
+                      jnp.minimum(1.0, rho_n * (q_td - q_min)
                                   / (dt * jnp.maximum(p_out, 1e-30))), 1.0)
     r_in = jnp.clip(r_in, 0.0, 1.0)
     r_out = jnp.clip(r_out, 0.0, 1.0)
@@ -353,7 +370,7 @@ def advect_mono(q, rho_u, rho_v, rho_w, rho, dt, rdx, rdy, rdz,
     az = az * fac_z
     az = _zero_boundary_vertical_flux(az)
 
-    q_new = q_td - dt * flux_divergence(ax, ay, az, rdx, rdy, rdz) / rho_c
+    q_new = q_td - dt * flux_divergence(ax, ay, az, rdx, rdy, rdz) / rho_n
 
     fx_t, fy_t, fz_t = fx_l + ax, fy_l + ay, fz_l + az
     probs = capture_outflow_probs(q, fx_t, fy_t, fz_t, rho, dt, rdx, rdy,
@@ -364,10 +381,10 @@ def advect_mono(q, rho_u, rho_v, rho_w, rho, dt, rdx, rdy, rdz,
 def rk3_advect_mono(q, rho_u, rho_v, rho_w, rho, dt, rdx, rdy, rdz,
                     h_order: int = 5, v_order: int = 3,
                     bc_x: str = "periodic", bc_y: str = "periodic",
-                    w_prob_cap: float = 0.95):
+                    w_prob_cap: float = 0.95, rho_new=None):
     """RK3 scalar advection with the monotonic limiter on the final stage
     (chem_adv_opt=2: ``solve_em.F:2525-2552`` -> advect_scalar_mono)."""
-    rho_c = rho.reshape(-1, 1, 1)
+    rho_c = _as_col(rho)
 
     def tend(qs):
         fx, fy, fz = face_fluxes(qs, rho_u, rho_v, rho_w, h_order, v_order,
@@ -377,7 +394,8 @@ def rk3_advect_mono(q, rho_u, rho_v, rho_w, rho, dt, rdx, rdy, rdz,
     q1 = q + (dt / 3.0) * tend(q)
     q2 = q + (dt / 2.0) * tend(q1)
     return advect_mono(q, rho_u, rho_v, rho_w, rho, dt, rdx, rdy, rdz,
-                       h_order, v_order, bc_x, bc_y, w_prob_cap, q_stage=q2)
+                       h_order, v_order, bc_x, bc_y, w_prob_cap, q_stage=q2,
+                       rho_new=rho_new)
 
 
 def capture_outflow_probs(q, fx, fy, fz, rho, dt, rdx, rdy, rdz,
@@ -388,7 +406,7 @@ def capture_outflow_probs(q, fx, fy, fz, rho, dt, rdx, rdy, rdz,
     the reference's guards: outflow-only sign selection, w-face cap, and
     renormalization when the total exceeds 1 (``wrf_pmc_trans.F90:236-284``).
     """
-    cell_mass_rate = rho.reshape(-1, 1, 1) * jnp.maximum(q, q_eps) / dt  # per dx-units
+    cell_mass_rate = _as_col(rho) * jnp.maximum(q, q_eps) / dt  # per dx-units
     inv = 1.0 / cell_mass_rate
 
     xm = jnp.maximum(-fx, 0.0) * rdx * inv
