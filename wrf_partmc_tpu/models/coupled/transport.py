@@ -289,30 +289,20 @@ def sample_destinations(aero: AeroState, ph, R, grid: Grid, cfg: Config, key):
 
 
 def _pack_rows(aero: AeroState):
-    """[N, 5+S] packed per-particle payload (same row schema as
-    aero_state._pack_payload)."""
-    bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
-    S = aero.vol.shape[-2]
-    return jnp.concatenate(
-        [aero.num[..., None], aero.t_create[..., None],
-         bc(aero.pid)[..., None], bc(aero.source)[..., None],
-         bc(aero.w_class)[..., None],
-         jnp.moveaxis(aero.vol, -2, -1)],
-        axis=-1).reshape(-1, 5 + S)
+    """[N, CH] packed per-particle payload (same row schema as
+    aero_state._pack_payload: num, t_create, pid, source, w_class, vol(S),
+    src_vol(K), src_id(K))."""
+    from ...models.partmc.aero_state import _pack_payload
+
+    return _pack_payload(aero)
 
 
 def _rows_to_state(aero: AeroState, rows, cshape) -> AeroState:
-    ic = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
-    S = aero.vol.shape[-2]
-    return dataclasses.replace(
-        aero,
-        vol=jnp.moveaxis(rows[..., 5:].reshape(*cshape, S), -1, -2),
-        num=rows[..., 0].reshape(cshape),
-        pid=ic(rows[..., 2]).reshape(cshape),
-        source=ic(rows[..., 3]).reshape(cshape),
-        w_class=ic(rows[..., 4]).reshape(cshape),
-        t_create=rows[..., 1].reshape(cshape),
-    )
+    """rows: [C, P, CH] -> state with cell shape cshape (== aero's)."""
+    from ...models.partmc.aero_state import _unpack_payload
+
+    return _unpack_payload(aero, rows.reshape(*cshape, aero.capacity,
+                                              rows.shape[-1]))
 
 
 def _bucket_rows(payload, dest_flat, C: int, P: int):
@@ -364,7 +354,7 @@ def rebucket(aero: AeroState, new_k, new_j, new_i, grid: Grid) -> AeroState:
     dest = (new_k * ny + new_j) * nx + new_i        # [nz, ny, nx, P]
     dest_flat = jnp.where(aero.alive.reshape(N), dest.reshape(N), C)
     rows = _bucket_rows(_pack_rows(aero), dest_flat, C, P)
-    return _rows_to_state(aero, rows, (nz, ny, nx, P))
+    return _rows_to_state(aero, rows, (nz, ny, nx))
 
 
 def transport_step_sharded(aero: AeroState, probs: OutflowProbs, xkhh, exch_h,
@@ -394,7 +384,7 @@ def transport_step_sharded(aero: AeroState, probs: OutflowProbs, xkhh, exch_h,
     nz, ny, nx = grid.nz, grid.ny, grid.nx
     P = aero.capacity
     S = aero.vol.shape[-2]
-    CH = 5 + S
+    CH = 5 + S + 2 * aero.n_src_comp
     py, px = (mesh.shape["y"], mesh.shape["x"])
     ny_l, nx_l = ny // py, nx // px
     N_l = nz * ny_l * nx_l * P
@@ -533,7 +523,7 @@ def transport_step_sharded(aero: AeroState, probs: OutflowProbs, xkhh, exch_h,
         pool = jnp.concatenate([payload, r1, r2, r3, r4], axis=0)
         dest_pool = jnp.concatenate([dest_stay, d1, d2, d3, d4], axis=0)
         rows = _bucket_rows(pool, dest_pool, C_l, P)
-        return _rows_to_state(aero_l, rows, (nz, ny_l, nx_l, P))
+        return _rows_to_state(aero_l, rows, (nz, ny_l, nx_l))
 
     fn = shard_map(local, mesh=mesh,
                    in_specs=(aero_specs, ph_specs,

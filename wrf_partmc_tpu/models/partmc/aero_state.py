@@ -41,15 +41,26 @@ class AeroState:
     vol: jax.Array        # [..., S, P] per-species volume per particle [m3]
     num: jax.Array        # [..., P] multiplicity (physical particles); 0=dead
     pid: jax.Array        # [..., P] int32 particle id (unique within cell)
-    source: jax.Array     # [..., P] int32 source index (aero_component)
+    source: jax.Array     # [..., P] int32 primary (largest-volume) source
     w_class: jax.Array    # [..., P] int32 weight class
     t_create: jax.Array   # [..., P] f32 creation time [s]
     next_id: jax.Array    # [...] int32 id counter (restart schema carries it,
                           # wrf_pmc_init.F90:1084-1286)
+    # fixed-width source-component list (the aero_component source
+    # attribution the reference carries per particle and through restart,
+    # wrf_pmc_init.F90:1111-1272): top-K contributing sources by primary
+    # volume.  Coagulation merges the two lists and truncates to K; chemistry
+    # growth is unattributed (components track emitted/primary volume).
+    src_id: jax.Array     # [..., K, P] int32 source index, -1 = empty slot
+    src_vol: jax.Array    # [..., K, P] f32 attributed primary volume [m3]
 
     @property
     def capacity(self) -> int:
         return self.num.shape[-1]
+
+    @property
+    def n_src_comp(self) -> int:
+        return self.src_id.shape[-2]
 
     @property
     def cell_shape(self) -> tuple:
@@ -75,6 +86,18 @@ class AeroState:
         onehot = jax.nn.one_hot(self.w_class, n_class, dtype=self.num.dtype)
         return jnp.einsum("...p,...pc->...c", self.num, onehot)
 
+    def num_by_source(self, n_source: int) -> jax.Array:
+        """[..., n_source] represented number per primary source."""
+        onehot = jax.nn.one_hot(self.source, n_source, dtype=self.num.dtype)
+        return jnp.einsum("...p,...pc->...c", self.num, onehot)
+
+    def vol_by_source(self, n_source: int) -> jax.Array:
+        """[..., n_source] represented attributed volume per source from the
+        component lists (survives coagulation, unlike the primary label)."""
+        onehot = jax.nn.one_hot(self.src_id, n_source, dtype=self.num.dtype)
+        return jnp.einsum("...kp,...p,...kpc->...c", self.src_vol, self.num,
+                          onehot)
+
     def dry_diameter(self, aero_data: AeroData) -> jax.Array:
         return vol_to_diam(particle_volume(self.vol, dry=True, aero_data=aero_data))
 
@@ -82,7 +105,8 @@ class AeroState:
         return vol_to_diam(particle_volume(self.vol))
 
 
-def zero_state(aero_data: AeroData, capacity: int, cell_shape=()) -> AeroState:
+def zero_state(aero_data: AeroData, capacity: int, cell_shape=(),
+               n_src_comp: int = 3) -> AeroState:
     S = aero_data.n_spec
     return AeroState(
         vol=jnp.zeros((*cell_shape, S, capacity), jnp.float32),
@@ -92,36 +116,50 @@ def zero_state(aero_data: AeroData, capacity: int, cell_shape=()) -> AeroState:
         w_class=jnp.zeros((*cell_shape, capacity), jnp.int32),
         t_create=jnp.zeros((*cell_shape, capacity), jnp.float32),
         next_id=jnp.zeros(cell_shape, jnp.int32),
+        src_id=jnp.full((*cell_shape, n_src_comp, capacity), -1, jnp.int32),
+        src_vol=jnp.zeros((*cell_shape, n_src_comp, capacity), jnp.float32),
     )
 
 
+def payload_channels(state: AeroState) -> int:
+    """Row width of the packed per-particle payload."""
+    return 5 + state.vol.shape[-2] + 2 * state.n_src_comp
+
+
 def _pack_payload(state: AeroState):
-    """All per-particle fields as one [N, 5+S] f32 row matrix (ints bitcast).
+    """All per-particle fields as one [N, CH] f32 row matrix (ints bitcast).
 
     TPU performance note: per-cell ``take_along_axis`` along the particle
     (lane) axis lowers to slow element gathers; packing fields into rows and
     gathering whole rows from the flattened pool is ~100x faster (measured),
-    so every slot-permutation in this module goes through this payload."""
+    so every slot-permutation in this module goes through this payload.
+
+    Layout: [num, t_create, pid, source, w_class, vol(S), src_vol(K),
+    src_id(K)]."""
     bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
-    S = state.vol.shape[-2]
-    P = state.capacity
     payload = jnp.concatenate(
         [state.num[..., None], state.t_create[..., None],
          bc(state.pid)[..., None], bc(state.source)[..., None],
          bc(state.w_class)[..., None],
-         jnp.moveaxis(state.vol, -2, -1)], axis=-1)
-    return payload.reshape(-1, 5 + S)          # [N, 5+S]
+         jnp.moveaxis(state.vol, -2, -1),
+         jnp.moveaxis(state.src_vol, -2, -1),
+         jnp.moveaxis(bc(state.src_id), -2, -1)], axis=-1)
+    return payload.reshape(-1, payload_channels(state))
 
 
 def _unpack_payload(state: AeroState, rows) -> AeroState:
-    """Inverse of _pack_payload; rows: [*cell_shape, P, 5+S]."""
+    """Inverse of _pack_payload; rows: [*cell_shape, P, CH]."""
     ic = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+    S = state.vol.shape[-2]
+    K = state.n_src_comp
     return dataclasses.replace(
         state,
         num=rows[..., 0], t_create=rows[..., 1],
         pid=ic(rows[..., 2]), source=ic(rows[..., 3]),
         w_class=ic(rows[..., 4]),
-        vol=jnp.moveaxis(rows[..., 5:], -1, -2))
+        vol=jnp.moveaxis(rows[..., 5:5 + S], -1, -2),
+        src_vol=jnp.moveaxis(rows[..., 5 + S:5 + S + K], -1, -2),
+        src_id=ic(jnp.moveaxis(rows[..., 5 + S + K:], -1, -2)))
 
 
 def _flat_base(state: AeroState):
@@ -198,10 +236,27 @@ def add_particles(state: AeroState, new_vol, new_num, new_source, new_w_class,
     # dead incoming entries (new_num==0) must stay dead
     live_in = incoming & (num > 0)
     vol = jnp.where((incoming & ~live_in)[..., None, :], 0.0, vol)
+    # source components: a fresh particle is 100% its emitting source
+    K = state.n_src_comp
+    tot_v = jnp.sum(new_vol, axis=-2)                          # [..., E]
+    sv_new = jnp.concatenate(
+        [tot_v[..., None, :],
+         jnp.zeros((*tot_v.shape[:-1], K - 1, tot_v.shape[-1]))], axis=-2)
+    si_new = jnp.concatenate(
+        [jnp.broadcast_to(jnp.asarray(new_source, jnp.float32),
+                          tot_v.shape)[..., None, :],
+         jnp.full((*tot_v.shape[:-1], K - 1, tot_v.shape[-1]), -1.0)],
+        axis=-2)
+    svN = jnp.einsum("...pe,...ke->...kp", onehot, sv_new)
+    siN = jnp.einsum("...pe,...ke->...kp", onehot, si_new)
+    inc_k = incoming[..., None, :]
+    src_vol = jnp.where(inc_k, svN, state.src_vol)
+    src_vol = jnp.where((incoming & ~live_in)[..., None, :], 0.0, src_vol)
+    src_id = jnp.where(inc_k, jnp.round(siN).astype(jnp.int32), state.src_id)
     return dataclasses.replace(
         state, vol=vol, num=jnp.where(incoming & ~live_in, 0.0, num),
         pid=pid, source=src, w_class=wcl, t_create=tcr,
-        next_id=state.next_id + E)
+        next_id=state.next_id + E, src_vol=src_vol, src_id=src_id)
 
 
 def thin(state: AeroState, keep_prob, key) -> AeroState:

@@ -122,12 +122,16 @@ def coag_step(state: AeroState, aero_data: AeroData, env: EnvState, dt, key,
     # flat-row packed gather of the pair sides (TPU: row gathers from the
     # flattened pool beat lane-axis take_along_axis by ~100x)
     S = state.vol.shape[-2]
+    K = state.n_src_comp
+    bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
     diam = state.wet_diameter()
     mass = particle_mass(state.vol, aero_data)
     payload = jnp.concatenate(
         [state.num[..., None], diam[..., None], mass[..., None],
-         jnp.moveaxis(state.vol, -2, -1)], axis=-1)               # [.., P, 3+S]
-    CH = 3 + S
+         jnp.moveaxis(state.vol, -2, -1),
+         jnp.moveaxis(state.src_vol, -2, -1),
+         jnp.moveaxis(bc(state.src_id), -2, -1)], axis=-1)    # [.., P, CH]
+    CH = 3 + S + 2 * K
     flat = payload.reshape(-1, CH)
     cells = 1
     for s in cell_shape:
@@ -164,9 +168,36 @@ def coag_step(state: AeroState, aero_data: AeroData, env: EnvState, dt, key,
     out_big = jnp.concatenate(
         [new_big_num[..., None], big_rows[..., 1:3],
          big_rows[..., 3:] * alive_fac], axis=-1)
+    vol_new = sml_rows[..., 3:3 + S] + g[..., None] * big_rows[..., 3:3 + S]
+
+    # source-component merge (aero_component equivalent): combine the two
+    # K-lists, accumulate duplicate sources into their first occurrence,
+    # keep the top-K by attributed volume (fixed-width truncation)
+    ic = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+    sv_s = sml_rows[..., 3 + S:3 + S + K]
+    si_s = ic(sml_rows[..., 3 + S + K:])
+    sv_b = g[..., None] * big_rows[..., 3 + S:3 + S + K]
+    si_b = ic(big_rows[..., 3 + S + K:])
+    cv = jnp.concatenate([sv_s, sv_b], axis=-1)            # [.., n_pair, 2K]
+    ci = jnp.concatenate([si_s, si_b], axis=-1)
+    did_coag = (g > 0)[..., None]
+    eq = (ci[..., :, None] == ci[..., None, :])            # [.., 2K, 2K]
+    first = jnp.argmax(eq, axis=-1)                        # first occurrence
+    oh = jax.nn.one_hot(first, 2 * K, dtype=cv.dtype)
+    cv_m = jnp.einsum("...jk,...j->...k", oh, cv)          # accumulated
+    is_first = first == jnp.arange(2 * K)
+    cv_m = jnp.where(is_first & (ci >= 0), cv_m, -1.0)     # sort key
+    order = jnp.argsort(-cv_m, axis=-1)[..., :K]           # top-K entries
+    ohk = jax.nn.one_hot(order, 2 * K, dtype=cv.dtype)     # [.., K, 2K]
+    sv_out = jnp.maximum(jnp.einsum("...kj,...j->...k", ohk, cv_m), 0.0)
+    si_out = jnp.einsum("...kj,...j->...k", ohk,
+                        ci.astype(cv.dtype)).astype(jnp.int32)
+    si_out = jnp.where(sv_out > 0.0, si_out, -1)
+    sv_out = jnp.where(did_coag, sv_out, sml_rows[..., 3 + S:3 + S + K])
+    si_out = jnp.where(did_coag, si_out, si_s)
     out_sml = jnp.concatenate(
-        [sml_rows[..., :3],
-         sml_rows[..., 3:] + g[..., None] * big_rows[..., 3:]], axis=-1)
+        [sml_rows[..., :3], vol_new, sv_out,
+         jax.lax.bitcast_convert_type(si_out, jnp.float32)], axis=-1)
 
     i_big = base + jnp.where(a_is_big, ia, ib)
     i_sml = base + jnp.where(a_is_big, ib, ia)
@@ -174,6 +205,14 @@ def coag_step(state: AeroState, aero_data: AeroData, env: EnvState, dt, key,
     flat = flat.at[i_big.reshape(-1)].set(out_big.reshape(-1, CH))
     flat = flat.at[i_sml.reshape(-1)].set(out_sml.reshape(-1, CH))
     rows = flat.reshape(cell_shape + (P, CH))
+    sv_rows = jnp.moveaxis(rows[..., 3 + S:3 + S + K], -1, -2)
+    si_rows = ic(jnp.moveaxis(rows[..., 3 + S + K:], -1, -2))
+    # primary source label follows the largest component
+    prim = jnp.take_along_axis(
+        si_rows, jnp.argmax(sv_rows, axis=-2)[..., None, :], axis=-2
+    )[..., 0, :]
     return dataclasses.replace(
         state, num=rows[..., 0],
-        vol=jnp.moveaxis(rows[..., 3:], -1, -2))
+        vol=jnp.moveaxis(rows[..., 3:3 + S], -1, -2),
+        src_vol=sv_rows, src_id=si_rows,
+        source=jnp.where(prim >= 0, prim, state.source))

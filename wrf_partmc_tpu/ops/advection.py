@@ -20,7 +20,7 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-from .stencil import AXIS_X, AXIS_Y, AXIS_Z, shift
+from .stencil import AXIS_X, AXIS_Y, AXIS_Z, make_taps, shift
 
 
 def _weno_face_value(q, upwind_pos, order: int, axis: int, bc: str,
@@ -32,7 +32,8 @@ def _weno_face_value(q, upwind_pos, order: int, axis: int, bc: str,
     ``upwind_pos``: boolean/array, True where the face velocity >= 0 (donor
     is cell i-1).  The negative-velocity branch is the mirror stencil.
     """
-    s = lambda k: shift(q, k, axis, bc)
+    half = 3 if order == 5 else 2
+    s = make_taps(q, -half, half - 1, axis, bc)
 
     # smoothness indicators are evaluated on a locally-normalized stencil so
     # the nonlinear weights stay scale-invariant in f32 (beta ~ q^2 and
@@ -96,7 +97,8 @@ def _upwind_face_flux(q, vel_face, order, axis: int, bc: str):
             raise ValueError(f"unsupported advection order {order}")
         qf = _weno_face_value(q, vel_face >= 0.0, int(order[-1]), axis, bc)
         return vel_face * qf
-    s = lambda k: shift(q, k, axis, bc)
+    half = {1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 3}[order]
+    s = make_taps(q, -half, half - 1, axis, bc)
     u = vel_face
     au = jnp.abs(vel_face)
     if order == 1:

@@ -41,6 +41,46 @@ def shift(a, s: int, axis: int, bc: str = "periodic"):
     raise ValueError(f"unknown bc {bc!r}")
 
 
+def make_taps(a, lo: int, hi: int, axis: int, bc: str = "periodic"):
+    """Return ``tap(s)`` giving a[..., i+s] for s in [lo, hi], backed by ONE
+    halo-extended buffer.
+
+    Performance: ``shift`` lowers each tap to its own roll (a concatenate
+    that materializes a full copy of ``a`` in HBM — ~50 such copies per step
+    across the stencil operators dominated round-1's advection cost).  Here
+    the extension is materialized once and every tap is a *slice* of it,
+    which XLA fuses into the consuming arithmetic as an offset read."""
+    if lo == 0 and hi == 0:
+        return lambda s: a
+    n = a.shape[axis]
+    parts = []
+    if lo < 0:
+        if bc == "periodic":
+            parts.append(lax.slice_in_dim(a, n + lo, n, axis=axis))
+        else:
+            edge = lax.slice_in_dim(a, 0, 1, axis=axis)
+            reps = [1] * a.ndim
+            reps[axis] = -lo
+            parts.append(jnp.tile(edge, reps))
+    parts.append(a)
+    if hi > 0:
+        if bc == "periodic":
+            parts.append(lax.slice_in_dim(a, 0, hi, axis=axis))
+        else:
+            edge = lax.slice_in_dim(a, n - 1, n, axis=axis)
+            reps = [1] * a.ndim
+            reps[axis] = hi
+            parts.append(jnp.tile(edge, reps))
+    ext = jnp.concatenate(parts, axis=axis) if len(parts) > 1 else parts[0]
+
+    def tap(s: int):
+        if s < lo or s > hi:
+            raise ValueError(f"tap {s} outside [{lo}, {hi}]")
+        return lax.slice_in_dim(ext, s - lo, s - lo + n, axis=axis)
+
+    return tap
+
+
 def diff_at_faces(a, axis: int, bc: str = "periodic"):
     """face-centered difference: d[i] = a[i] - a[i-1] (at owner-face i)."""
     return a - shift(a, -1, axis, bc)

@@ -122,7 +122,7 @@ def write_particle_netcdf(path: str, cs: CoupledState, aero_data, grid) -> None:
     P = a.capacity
     S = a.vol.shape[-2]
     for name, n in (("z", nz), ("y", ny), ("x", nx), ("part", P), ("spec", S),
-                    ("gas", cs.gas.shape[-1])):
+                    ("gas", cs.gas.shape[-1]), ("src_comp", a.n_src_comp)):
         f.createDimension(name, n)
 
     def var(name, dims, data, typ="f"):
@@ -136,6 +136,11 @@ def write_particle_netcdf(path: str, cs: CoupledState, aero_data, grid) -> None:
     var("aero_weight_class", ("z", "y", "x", "part"),
         np.asarray(a.w_class, np.int32), "i")
     var("aero_create_time", ("z", "y", "x", "part"), a.t_create)
+    # fixed-width source-component lists (the aero_component attribution the
+    # reference restarts carry, wrf_pmc_init.F90:1111-1272)
+    var("aero_comp_source", ("z", "y", "x", "src_comp", "part"),
+        np.asarray(a.src_id, np.int32), "i")
+    var("aero_comp_vol", ("z", "y", "x", "src_comp", "part"), a.src_vol)
     var("next_id", ("z", "y", "x"), np.asarray(a.next_id, np.int32), "i")
     var("gas_mixrat", ("z", "y", "x", "gas"), cs.gas)
     f.aero_species = ",".join(aero_data.names).encode()
