@@ -5,11 +5,17 @@ Mie optics per particle (``mosaic_aero_optical_single_wavelength``,
 ``wrf_pmc_driver.F90:1205``) aggregated into the bulk ``tauaer/gaer/waer``
 fields fed to RRTMG (``compute_bulk_optical_props`` ``:2025-2097``).
 
-Round-1 scheme: volume-mixing refractive index per particle + anomalous
-diffraction theory (ADT; van de Hulst 1957) for the extinction efficiency
-with an absorption-channel closure — closed-form, vectorized, no Mie series.
-Accuracy is within tens of percent of Mie for size parameters x > 1 (the
-optically active sizes); a Pallas Mie-lookup kernel is the planned upgrade.
+Two per-particle efficiency backends:
+
+* ``method="mie"`` (default): exact Mie efficiencies from the precomputed
+  (size parameter x, n, k) lookup table in :mod:`.mie`, trilinearly
+  interpolated on device — the fidelity of the reference's per-particle
+  MOSAIC Mie (``mosaic_aero_optical_single_wavelength``,
+  ``wrf_pmc_driver.F90:1205``) at table-gather cost.  The asymmetry
+  parameter g comes from the same table (round 1 parameterized it).
+* ``method="adt"``: the round-1 anomalous diffraction theory closure
+  (van de Hulst 1957) — kept as the cheap fallback and for the documented
+  Mie-vs-ADT delta test (``tests/test_radiation.py``).
 
 Species refractive indices at 550 nm from the OPAC database (Hess et al.
 1998) by species class.
@@ -55,10 +61,13 @@ def species_refractive_index(aero_data: AeroData):
 def particle_refractive_index(state: AeroState, aero_data: AeroData):
     """Volume-mixing-rule (n, k) per particle [..., P]."""
     n_s, k_s = species_refractive_index(aero_data)
-    vtot = jnp.maximum(particle_volume(state.vol), 1e-300)
-    n = jnp.einsum("...sp,s->...p", state.vol, n_s) / vtot
-    k = jnp.einsum("...sp,s->...p", state.vol, k_s) / vtot
-    return n, k
+    vtot = particle_volume(state.vol)
+    safe = jnp.maximum(vtot, 1e-30)          # f32-safe; 1e-300 underflows
+    n = jnp.einsum("...sp,s->...p", state.vol, n_s) / safe
+    k = jnp.einsum("...sp,s->...p", state.vol, k_s) / safe
+    # dead/empty slots: a neutral non-absorbing index instead of 0/0
+    empty = vtot <= 0.0
+    return jnp.where(empty, 1.45, n), jnp.where(empty, 0.0, k)
 
 
 def adt_efficiencies(diam, n, k, wavelength):
@@ -93,47 +102,73 @@ class BulkOptics:
     gaer: jax.Array      # [W, nz, ny, nx] asymmetry parameter
 
 
-def bulk_optical_props(state: AeroState, aero_data: AeroData, dz,
-                       cell_volume, wavelengths=WAVELENGTHS) -> BulkOptics:
-    """Aggregate per-particle cross-sections to layer tauaer/waer/gaer
-    (compute_bulk_optical_props equivalent).  dz: [nz] layer depths."""
+def particle_efficiencies(diam, n, k, wavelength, method="mie",
+                          mie_table=None):
+    """Per-particle (q_ext, q_sca, g) at one wavelength by the selected
+    backend (shapes follow ``diam``)."""
+    if method == "mie":
+        from .mie import make_mie_table, table_lookup
+
+        table = mie_table if mie_table is not None else make_mie_table()
+        x = jnp.pi * diam / wavelength
+        return table_lookup(table, x, n, k)
+    q_ext, q_abs = adt_efficiencies(diam, n, k, wavelength)
+    x = jnp.pi * diam / wavelength
+    g = jnp.clip(0.85 * (1.0 - jnp.exp(-x / 2.0)), 0.0, 0.9)
+    return q_ext, q_ext - q_abs, g
+
+
+def per_particle_optics(state: AeroState, aero_data: AeroData,
+                        wavelengths=WAVELENGTHS, method="mie",
+                        mie_table=None):
+    """Per-particle scattering/absorption cross-sections [m2] + asymmetry
+    per band: ([W, ..., P] c_sca, c_abs, g) — the aero_particle optics state
+    the reference stores and restarts (``wrf_pmc_init.F90:1111-1272``:
+    absorb/scatter cross-sections, asymmetry, refractive index).  Here it is
+    derived state: recomputing from the Mie table costs less than carrying
+    it through every transport gather, and is bit-reproducible, so the
+    output/restart schema (``utils/io.py::write_particle_netcdf``) records
+    it while the transported payload does not."""
     diam = jnp.maximum(state.wet_diameter(), 1e-9)
     n, k = particle_refractive_index(state, aero_data)
-    area = (jnp.pi / 4.0) * diam * diam                  # geometric cross-sec
-    V = jnp.asarray(cell_volume)
-    taus, was, gas_ = [], [], []
+    area = (jnp.pi / 4.0) * diam * diam
+    c_sca, c_abs, gs = [], [], []
     for wl in wavelengths:
-        q_ext, q_abs = adt_efficiencies(diam, n, k, wl)
-        c_ext = q_ext * area * state.num                 # [..., P] m2
-        c_sca = (q_ext - q_abs) * area * state.num
-        b_ext = jnp.sum(jnp.where(state.alive, c_ext, 0.0), axis=-1) / V
-        b_sca = jnp.sum(jnp.where(state.alive, c_sca, 0.0), axis=-1) / V
-        tau = b_ext * dz.reshape(-1, 1, 1)
-        w0 = b_sca / jnp.maximum(b_ext, 1e-30)
-        # Henyey-Greenstein asymmetry from size parameter (parameterized)
-        x = jnp.pi * diam / wl
-        g_i = jnp.clip(0.85 * (1.0 - jnp.exp(-x / 2.0)), 0.0, 0.9)
-        g = (jnp.sum(jnp.where(state.alive, c_sca * g_i, 0.0), axis=-1)
-             / jnp.maximum(jnp.sum(jnp.where(state.alive, c_sca, 0.0), axis=-1), 1e-30))
-        taus.append(tau)
-        was.append(w0)
-        gas_.append(g)
-    return BulkOptics(tauaer=jnp.stack(taus), waer=jnp.stack(was),
-                      gaer=jnp.stack(gas_))
+        q_ext, q_sca, g = particle_efficiencies(diam, n, k, wl, method,
+                                                mie_table)
+        c_sca.append(q_sca * area)
+        c_abs.append((q_ext - q_sca) * area)
+        gs.append(g)
+    return jnp.stack(c_sca), jnp.stack(c_abs), jnp.stack(gs)
+
+
+def bulk_optical_props(state: AeroState, aero_data: AeroData, dz,
+                       cell_volume, wavelengths=WAVELENGTHS,
+                       method="mie", mie_table=None) -> BulkOptics:
+    """Aggregate per-particle cross-sections to layer tauaer/waer/gaer
+    (compute_bulk_optical_props equivalent).  dz: [nz] layer depths."""
+    c_sca, c_abs, g_i = per_particle_optics(state, aero_data, wavelengths,
+                                            method, mie_table)
+    V = jnp.asarray(cell_volume)
+    live_num = jnp.where(state.alive, state.num, 0.0)
+    b_sca = jnp.sum(c_sca * live_num, axis=-1) / V          # [W, nz, ny, nx]
+    b_ext = b_sca + jnp.sum(c_abs * live_num, axis=-1) / V
+    tau = b_ext * dz.reshape(1, -1, 1, 1)
+    w0 = b_sca / jnp.maximum(b_ext, 1e-30)
+    g = (jnp.sum(c_sca * g_i * live_num, axis=-1)
+         / jnp.maximum(jnp.sum(c_sca * live_num, axis=-1), 1e-30))
+    return BulkOptics(tauaer=tau, waer=w0, gaer=g)
 
 def scat_abs_coeffs(state: AeroState, aero_data: AeroData, cell_volume,
-                    wavelength: float = 5.5e-7):
+                    wavelength: float = 5.5e-7, method="mie", mie_table=None):
     """Bulk scattering/absorption coefficients [m-1] at one wavelength —
     the per-population reduction behind the reference's optical diagnostic
     fields (``wrf_pmc_driver.F90:1180-1252``, MOSAIC optics per particle
     summed to gridded scattering/absorption)."""
-    diam = jnp.maximum(state.wet_diameter(), 1e-9)
-    n, k = particle_refractive_index(state, aero_data)
-    area = (jnp.pi / 4.0) * diam * diam
-    q_ext, q_abs = adt_efficiencies(diam, n, k, wavelength)
+    c_sca, c_abs, _ = per_particle_optics(state, aero_data, (wavelength,),
+                                          method, mie_table)
     V = jnp.asarray(cell_volume)
-    c_abs = q_abs * area * state.num
-    c_sca = (q_ext - q_abs) * area * state.num
-    b_abs = jnp.sum(jnp.where(state.alive, c_abs, 0.0), axis=-1) / V
-    b_sca = jnp.sum(jnp.where(state.alive, c_sca, 0.0), axis=-1) / V
+    live_num = jnp.where(state.alive, state.num, 0.0)
+    b_sca = jnp.sum(c_sca[0] * live_num, axis=-1) / V
+    b_abs = jnp.sum(c_abs[0] * live_num, axis=-1) / V
     return b_sca, b_abs

@@ -128,7 +128,7 @@ def run(cfg: Config, case: str, outdir: str, seed: int = 0,
                               cs, grid, cfg, diag)
                 write_particle_netcdf(
                     os.path.join(outdir, f"partmc_{clock.step:06d}.nc"),
-                    cs, ad, grid)
+                    cs, ad, grid, with_optics=cfg.partmc.do_optical)
                 n_hist += 1
         if clock.step > 0 and clock.ringing("restart"):
             with timers.section("restart_write"):

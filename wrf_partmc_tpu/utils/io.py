@@ -111,11 +111,18 @@ def read_restart(path: str, template: CoupledState) -> CoupledState:
     return jax.tree.unflatten(treedef, new_leaves)
 
 
-def write_particle_netcdf(path: str, cs: CoupledState, aero_data, grid) -> None:
+def write_particle_netcdf(path: str, cs: CoupledState, aero_data, grid,
+                          with_optics: bool = False) -> None:
     """Reference-style particle-state NetCDF (the per-column schema of
     ``output_column_to_file_new`` flattened to whole-domain arrays):
     per-particle species masses, ids, weight classes, sources, create times,
-    multiplicities, plus gas mix ratios and next_id."""
+    multiplicities, plus gas mix ratios and next_id.
+
+    ``with_optics`` adds the per-particle optical state the reference's
+    restart carries (``wrf_pmc_init.F90:1111-1272``: absorb/scatter
+    cross-sections, asymmetry parameter, volume-mixed refractive index) —
+    here derived from the Mie table at write time, identical to what a
+    reader would recompute."""
     f = _nc(path)
     a = cs.aero
     nz, ny, nx = grid.nz, grid.ny, grid.nx
@@ -143,6 +150,20 @@ def write_particle_netcdf(path: str, cs: CoupledState, aero_data, grid) -> None:
     var("aero_comp_vol", ("z", "y", "x", "src_comp", "part"), a.src_vol)
     var("next_id", ("z", "y", "x"), np.asarray(a.next_id, np.int32), "i")
     var("gas_mixrat", ("z", "y", "x", "gas"), cs.gas)
+    if with_optics:
+        from ..models.partmc.optics import (WAVELENGTHS, per_particle_optics,
+                                            particle_refractive_index)
+
+        f.createDimension("band", len(WAVELENGTHS))
+        c_sca, c_abs, g = jax.jit(
+            lambda s: per_particle_optics(s, aero_data))(a)
+        ri_n, ri_k = particle_refractive_index(a, aero_data)
+        var("aero_scatter_xsec", ("band", "z", "y", "x", "part"), c_sca)
+        var("aero_absorb_xsec", ("band", "z", "y", "x", "part"), c_abs)
+        var("aero_asymmetry", ("band", "z", "y", "x", "part"), g)
+        var("aero_refract_real", ("z", "y", "x", "part"), ri_n)
+        var("aero_refract_imag", ("z", "y", "x", "part"), ri_k)
+        f.optics_wavelengths_m = ",".join(str(w) for w in WAVELENGTHS).encode()
     f.aero_species = ",".join(aero_data.names).encode()
     f.flush()
     f.close()
