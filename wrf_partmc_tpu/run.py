@@ -53,15 +53,22 @@ CASES = {
 
 def build_model(cfg: Config, case: str = "uniform", seed: int = 0,
                 input_files: dict | None = None):
-    """input_files: optional {"ics": path, "emissions": path, "bcs": path} —
-    the file-driven init branch of ``init_wrf_partmc`` (per-cell NetCDF
-    IC/BC/emission contract, ``wrf_pmc_init.F90:284-379``)."""
-    grid = make_grid(cfg)
+    """input_files: optional {"ics": path, "emissions": path, "bcs": path,
+    "wrfinput": path} — the file-driven init branch of ``init_wrf_partmc``
+    (per-cell NetCDF IC/BC/emission contract, ``wrf_pmc_init.F90:284-379``)
+    plus the real_em on-ramp (``main/real_em.F``) when "wrfinput" is set
+    (case is then ignored for the dycore state)."""
     ad = make_aero_data()
     gd = make_gas_data()
     vf = np.zeros(ad.n_spec)
     vf[ad.spec_by_name("SO4")] = 1.0
-    dyn = CASES[case](cfg, grid)
+    if input_files and input_files.get("wrfinput"):
+        from .models.dycore.real import init_real
+
+        grid, dyn = init_real(cfg, input_files["wrfinput"])
+    else:
+        grid = make_grid(cfg)
+        dyn = CASES[case](cfg, grid)
     cs = init_coupled(cfg, grid, ad, gd, dyn)
     scenario_fn = None
     if input_files and input_files.get("ics"):
@@ -71,7 +78,8 @@ def build_model(cfg: Config, case: str = "uniform", seed: int = 0,
             ad, gd.n_spec, cfg, grid, rng.base_key(seed), input_files["ics"],
             input_files.get("emissions"), input_files.get("bcs"))
         scn = scenario_fn(0.0)
-    elif case in ("uniform", "rotational"):
+    elif (case in ("uniform", "rotational")
+          and not (input_files and input_files.get("wrfinput"))):
         scn = constant_scenario(ad, gd.n_spec, make_mode(0.0, 1e-7, 1.6, vf))
         aero = populate_from_number_field(ad, cfg, grid, dyn.num_conc[0],
                                           rng.base_key(seed))
@@ -159,6 +167,8 @@ def main(argv=None):
     ap.add_argument("--ics", help="IC NetCDF (tools/make_inputs.py contract)")
     ap.add_argument("--emissions", help="emission time-series NetCDF")
     ap.add_argument("--bcs", help="lateral-BC background NetCDF")
+    ap.add_argument("--wrfinput",
+                    help="wrfinput-like NetCDF (real_em on-ramp)")
     args = ap.parse_args(argv)
 
     if args.namelist:
@@ -171,9 +181,10 @@ def main(argv=None):
     from .config import validate_config
 
     validate_config(cfg)          # check_a_mundo at startup
-    files = {"ics": args.ics, "emissions": args.emissions, "bcs": args.bcs}
+    files = {"ics": args.ics, "emissions": args.emissions, "bcs": args.bcs,
+             "wrfinput": args.wrfinput}
     cs, _ = run(cfg, args.case, args.outdir, args.seed, args.restart,
-                input_files=files if args.ics else None)
+                input_files=files if (args.ics or args.wrfinput) else None)
     print(json.dumps({"steps": int(cs.step),
                       "total_particles": float(cs.aero.total_num().sum())}))
 

@@ -142,3 +142,88 @@ def read_bcs(path: str):
     dil = jnp.asarray(np.array(f.variables["dilution_rate"][:]), jnp.float32)
     f.close()
     return times, dist, gas, dil
+
+
+def write_wrfinput(path: str, cfg, hgt=None, proj_kind="lambert",
+                   cen_lat=40.0, cen_lon=-97.0, truelat1=30.0, truelat2=60.0,
+                   stand_lon=-97.0, dtheta_dz=4.0e-3, u_jet=12.0, v0=0.0,
+                   rh0=0.5, seed=0) -> None:
+    """Synthetic wrfinput-like NetCDF (the ``real_em`` input contract,
+    ``WRFV3/main/real_em.F:1``): terrain + map-projection metadata + a
+    stable sheared sounding, in wrfinput variable names/dims so
+    :func:`models.dycore.real.init_real` can ingest it.  Stands in for WPS
+    (out of scope per SURVEY §7.2.9) the way CARES/CONUS wrfinputs feed the
+    reference."""
+    from .. import constants as c
+    from ..grid import make_grid
+    from ..models.dycore.ideal import hill_terrain
+    from ..models.physics.thermo import saturation_vapor_pressure
+    from ..utils import llxy
+
+    d = cfg.domain
+    if hgt is None:
+        hgt = hill_terrain(cfg, h0=300.0, half_width_frac=0.2)
+    hgt = np.asarray(hgt)
+    grid = make_grid(cfg, hgt=hgt)
+    nz, ny, nx = d.nz, d.ny, d.nx
+
+    proj = llxy.make_projection(proj_kind, cen_lat, cen_lon, d.dx,
+                                stdlon=stand_lon, truelat1=truelat1,
+                                truelat2=truelat2)
+    xlat, xlong, msft, f_cor = llxy.grid_geography(proj, nx, ny)
+
+    # stable sounding on the terrain-following half levels
+    z3 = np.asarray(0.5 * (grid.phb[1:] + grid.phb[:-1])) / c.GRAV
+    theta = c.T0 + dtheta_dz * z3                         # [nz, ny, nx]
+    rng = np.random.default_rng(seed)
+    theta += 0.1 * rng.standard_normal(theta.shape)       # seed perturbations
+    # sheared zonal jet peaking mid-troposphere
+    ztop = float(np.asarray(grid.z_full)[-1])
+    u3 = u_jet * np.sin(np.pi * np.clip(z3 / ztop, 0, 1))
+    v3 = np.full_like(u3, v0)
+    # moisture: fixed RH against the base-state temperature profile
+    t3 = theta * (np.asarray(grid.pb3) / c.P0) ** c.KAPPA
+    e_sat = np.asarray(saturation_vapor_pressure(jnp.asarray(t3)))
+    qv = rh0 * c.EPS_VAP * e_sat / np.maximum(
+        np.asarray(grid.pb3) - e_sat, 1e3)
+    qv = np.clip(qv, 0.0, 0.02) * np.exp(-z3 / 3000.0)
+    # moist surface pressure: base dry + vapor column
+    p_top = float(np.asarray(grid.p_base)[0]
+                  - float(grid.mu_base) * float(np.asarray(grid.eta_half)[0]))
+    deta = np.asarray(grid.deta).reshape(-1, 1, 1)
+    psfc = p_top + np.asarray(grid.mub) * (1.0 + np.sum(qv * deta, axis=0))
+
+    f = _nc(path)
+    for name, n in (("west_east", nx), ("west_east_stag", nx + 1),
+                    ("south_north", ny), ("south_north_stag", ny + 1),
+                    ("bottom_top", nz), ("bottom_top_stag", nz + 1)):
+        f.createDimension(name, n)
+
+    def var(name, dims, data):
+        v = f.createVariable(name, "f", dims)
+        v[:] = np.asarray(data, np.float32)
+
+    var("HGT", ("south_north", "west_east"), hgt)
+    # owner-face u == west-face values; replicate the last face for _stag
+    u_stag = np.concatenate([u3, u3[..., -1:]], axis=-1)
+    v_stag = np.concatenate([v3, v3[..., -1:, :]], axis=-2)
+    var("U", ("bottom_top", "south_north", "west_east_stag"), u_stag)
+    var("V", ("bottom_top", "south_north_stag", "west_east"), v_stag)
+    var("T", ("bottom_top", "south_north", "west_east"), theta - c.T0)
+    var("QVAPOR", ("bottom_top", "south_north", "west_east"), qv)
+    var("PSFC", ("south_north", "west_east"), psfc)
+    var("XLAT", ("south_north", "west_east"), xlat)
+    var("XLONG", ("south_north", "west_east"), xlong)
+    var("MAPFAC_M", ("south_north", "west_east"), msft)
+    var("F", ("south_north", "west_east"), f_cor)
+    f.DX = float(d.dx)
+    f.DY = float(d.dy)
+    f.MAP_PROJ = {"lambert": 1, "polar": 2, "mercator": 3, "lat-lon": 6}[proj_kind]
+    f.TRUELAT1 = float(truelat1)
+    f.TRUELAT2 = float(truelat2)
+    f.STAND_LON = float(stand_lon)
+    f.CEN_LAT = float(cen_lat)
+    f.CEN_LON = float(cen_lon)
+    f.P_TOP = p_top
+    f.flush()
+    f.close()
