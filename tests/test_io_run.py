@@ -135,3 +135,75 @@ def test_timers_and_memtrack():
     assert t.counts["a"] == 2
     assert "a" in t.report()
     assert memtrack_mb() > 10.0
+
+
+def test_portable_netcdf_restart_capacity_change(tmp_path):
+    """write_restart_netcdf / read_restart_netcdf: the portable restart
+    schema reads back across particle-capacity changes with represented
+    number exactly conserved (``wrf_pmc_init.F90:1084-1286`` portability,
+    VERDICT r1 weak #7)."""
+    import jax.numpy as jnp
+
+    from wrf_partmc_tpu.grid import make_grid
+    from wrf_partmc_tpu.models.coupled.driver import CoupledState
+    from wrf_partmc_tpu.models.partmc.aero_data import make_aero_data
+    from wrf_partmc_tpu.models.partmc.aero_state import zero_state
+    from wrf_partmc_tpu.run import build_model
+    from wrf_partmc_tpu.utils.io import (read_restart_netcdf,
+                                         write_restart_netcdf)
+
+    cfg = _small_cfg()
+    grid, ad, gd, scn, cs, exch, _ = build_model(cfg, "uniform")
+    path = str(tmp_path / "restart.nc")
+    write_restart_netcdf(path, cs, ad, grid)
+    assert os.path.exists(path) and os.path.exists(path + ".dyn")
+
+    # same capacity: exact round trip
+    cs_same = read_restart_netcdf(path, cs, ad)
+    np.testing.assert_array_equal(np.asarray(cs_same.aero.num),
+                                  np.asarray(cs.aero.num))
+    np.testing.assert_array_equal(np.asarray(cs_same.dyn.theta_p),
+                                  np.asarray(cs.dyn.theta_p))
+
+    tot0 = np.asarray(cs.aero.total_num())
+
+    # larger capacity: pad with dead slots, identical totals
+    big = dataclasses.replace(
+        cs, aero=zero_state(ad, cs.aero.capacity * 2,
+                            cell_shape=cs.aero.cell_shape))
+    cs_big = read_restart_netcdf(path, big, ad)
+    np.testing.assert_allclose(np.asarray(cs_big.aero.total_num()), tot0,
+                               rtol=1e-6)
+
+    # smaller capacity: keep largest multiplicities, conserve number exactly
+    small = dataclasses.replace(
+        cs, aero=zero_state(ad, max(2, cs.aero.capacity // 3),
+                            cell_shape=cs.aero.cell_shape))
+    cs_small = read_restart_netcdf(path, small, ad)
+    np.testing.assert_allclose(np.asarray(cs_small.aero.total_num()), tot0,
+                               rtol=1e-5)
+    assert cs_small.aero.capacity < cs.aero.capacity
+
+
+def test_quilted_history_writes(tmp_path):
+    """History + particle NetCDF through the async quilt pool produce files
+    identical to the synchronous path (VERDICT r1 weak #8)."""
+    from wrf_partmc_tpu.run import build_model
+    from wrf_partmc_tpu.utils.io import write_history, write_particle_netcdf
+    from wrf_partmc_tpu.utils.quilt import QuiltWriter
+
+    cfg = _small_cfg()
+    grid, ad, gd, scn, cs, exch, _ = build_model(cfg, "uniform")
+    sync_p = str(tmp_path / "sync.nc")
+    async_p = str(tmp_path / "async.nc")
+    write_history(sync_p, cs, grid, cfg, None)
+    with QuiltWriter() as w:
+        write_history(async_p, cs, grid, cfg, None, writer=w)
+    assert open(sync_p, "rb").read() == open(async_p, "rb").read()
+
+    sync_p2 = str(tmp_path / "sync_part.nc")
+    async_p2 = str(tmp_path / "async_part.nc")
+    write_particle_netcdf(sync_p2, cs, ad, grid)
+    with QuiltWriter() as w:
+        write_particle_netcdf(async_p2, cs, ad, grid, writer=w)
+    assert open(sync_p2, "rb").read() == open(async_p2, "rb").read()

@@ -99,7 +99,12 @@ def run(cfg: Config, case: str, outdir: str, seed: int = 0,
     grid, ad, gd, scn, cs, exch, scenario_fn = build_model(cfg, case, seed,
                                                            input_files)
     if restart_path:   # do_restart=.true. path: exact particle+field state
-        cs = read_restart(restart_path, cs)
+        if restart_path.endswith(".nc"):   # portable NetCDF-schema restart
+            from .utils.io import read_restart_netcdf
+
+            cs = read_restart_netcdf(restart_path, cs, ad)
+        else:
+            cs = read_restart(restart_path, cs)
     key = rng.base_key(cfg.partmc.random_seed or seed)
     bg = make_bin_grid(cfg.partmc.num_bins, cfg.partmc.bin_d_min,
                        cfg.partmc.bin_d_max)
@@ -133,10 +138,11 @@ def run(cfg: Config, case: str, outdir: str, seed: int = 0,
         if clock.ringing("history"):
             with timers.section("history_write"):
                 write_history(os.path.join(outdir, f"wrfout_{clock.step:06d}.nc"),
-                              cs, grid, cfg, diag)
+                              cs, grid, cfg, diag, writer=quilt)
                 write_particle_netcdf(
                     os.path.join(outdir, f"partmc_{clock.step:06d}.nc"),
-                    cs, ad, grid, with_optics=cfg.partmc.do_optical)
+                    cs, ad, grid, with_optics=cfg.partmc.do_optical,
+                    writer=quilt)
                 n_hist += 1
         if clock.step > 0 and clock.ringing("restart"):
             with timers.section("restart_write"):

@@ -29,10 +29,37 @@ def _nc(path):
     return netcdf_file(path, "w", version=2)
 
 
-def write_history(path: str, cs: CoupledState, grid, cfg, diag=None) -> None:
+class _NcOut:
+    """NetCDF writer that either writes straight to ``path`` (writer=None)
+    or serializes into memory and hands the bytes to the native async quilt
+    pool — the quilting of WRF's dedicated output ranks
+    (``frame/module_io_quilt.F``) applied to every output stream."""
+
+    def __init__(self, path, writer=None):
+        import io as _io
+
+        from scipy.io import netcdf_file
+
+        self.path = path
+        self.writer = writer
+        self.buf = _io.BytesIO() if writer is not None else None
+        self.f = netcdf_file(self.buf if writer is not None else path,
+                             "w", version=2)
+
+    def close(self):
+        self.f.flush()
+        if self.writer is not None:
+            self.writer.submit_bytes(self.path, self.buf.getvalue())
+        self.f.close()
+
+
+def write_history(path: str, cs: CoupledState, grid, cfg, diag=None,
+                  writer=None) -> None:
     """WRF-style history file: prognostic fields + PartMC gridded
-    diagnostics when provided (med_before_solve_io / partmc_process)."""
-    f = _nc(path)
+    diagnostics when provided (med_before_solve_io / partmc_process).
+    With ``writer`` the encoded file goes through the async quilt pool."""
+    out = _NcOut(path, writer)
+    f = out.f
     nz, ny, nx = grid.nz, grid.ny, grid.nx
     f.createDimension("z", nz)
     f.createDimension("z_stag", nz + 1)
@@ -74,8 +101,7 @@ def write_history(path: str, cs: CoupledState, grid, cfg, diag=None) -> None:
         var("b_scat_mix", ("z", "y", "x"), diag.b_scat_mix)
         var("b_abs_mix", ("z", "y", "x"), diag.b_abs_mix)
         var("ccn_mix", ("z", "y", "x", "ccn_s"), diag.ccn_mix)
-    f.flush()
-    f.close()
+    out.close()
 
 
 _PARTICLE_FIELDS = ("vol", "num", "pid", "source", "w_class", "t_create")
@@ -112,7 +138,7 @@ def read_restart(path: str, template: CoupledState) -> CoupledState:
 
 
 def write_particle_netcdf(path: str, cs: CoupledState, aero_data, grid,
-                          with_optics: bool = False) -> None:
+                          with_optics: bool = False, writer=None) -> None:
     """Reference-style particle-state NetCDF (the per-column schema of
     ``output_column_to_file_new`` flattened to whole-domain arrays):
     per-particle species masses, ids, weight classes, sources, create times,
@@ -123,7 +149,8 @@ def write_particle_netcdf(path: str, cs: CoupledState, aero_data, grid,
     cross-sections, asymmetry parameter, volume-mixed refractive index) —
     here derived from the Mie table at write time, identical to what a
     reader would recompute."""
-    f = _nc(path)
+    out = _NcOut(path, writer)
+    f = out.f
     a = cs.aero
     nz, ny, nx = grid.nz, grid.ny, grid.nx
     P = a.capacity
@@ -165,5 +192,162 @@ def write_particle_netcdf(path: str, cs: CoupledState, aero_data, grid,
         var("aero_refract_imag", ("z", "y", "x", "part"), ri_k)
         f.optics_wavelengths_m = ",".join(str(w) for w in WAVELENGTHS).encode()
     f.aero_species = ",".join(aero_data.names).encode()
-    f.flush()
+    out.close()
+
+
+def read_particle_netcdf(path: str, template, aero_data=None):
+    """Particle-state NetCDF -> (AeroState, gas): the portable restart read
+    (``init_read_in_restart``, ``wrf_pmc_init.F90:1084-1286``).
+
+    Unlike the npz pytree restart (same-shape only, like WRF binary
+    restarts), this reads the *schema*: the template's particle capacity may
+    differ from the file's.  Larger capacity pads with dead slots; smaller
+    capacity keeps the largest-multiplicity particles per cell and rescales
+    the survivors so represented number is exactly conserved (the same
+    conservation backstop as transport rebucketing).  Species are matched
+    by name against the file's ``aero_species`` attribute when
+    ``aero_data`` is given."""
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+    from scipy.io import netcdf_file
+
+    f = netcdf_file(path, "r", mmap=False)
+    g = lambda n: np.array(f.variables[n][:])
+    vol = g("aero_particle_vol")                   # [z, y, x, S, Pf]
+    num = g("aero_num")
+    pid = g("aero_id")
+    source = g("aero_source")
+    w_class = g("aero_weight_class")
+    t_create = g("aero_create_time")
+    src_id = g("aero_comp_source")
+    src_vol = g("aero_comp_vol")
+    next_id = g("next_id")
+    gas = g("gas_mixrat")
+    names_file = getattr(f, "aero_species", b"").decode().split(",")
     f.close()
+
+    if aero_data is not None and names_file and names_file[0]:
+        # species permutation by name (missing species -> zero volume)
+        S_t = aero_data.n_spec
+        vol_t = np.zeros(vol.shape[:-2] + (S_t, vol.shape[-1]), vol.dtype)
+        for i_f, name in enumerate(names_file):
+            if name in aero_data.names:
+                vol_t[..., aero_data.names.index(name), :] = vol[..., i_f, :]
+        vol = vol_t
+
+    a = template.aero
+    P_t = a.capacity
+    P_f = num.shape[-1]
+    if P_f != P_t:
+        order = np.argsort(-num, axis=-1)          # largest multiplicity first
+        take = order[..., :min(P_f, P_t)]
+        tot = num.sum(axis=-1)
+        vol = np.take_along_axis(vol, take[..., None, :], axis=-1)
+        src_id = np.take_along_axis(src_id, take[..., None, :], axis=-1)
+        src_vol = np.take_along_axis(src_vol, take[..., None, :], axis=-1)
+        num = np.take_along_axis(num, take, axis=-1)
+        pid = np.take_along_axis(pid, take, axis=-1)
+        source = np.take_along_axis(source, take, axis=-1)
+        w_class = np.take_along_axis(w_class, take, axis=-1)
+        t_create = np.take_along_axis(t_create, take, axis=-1)
+        if P_f > P_t:
+            kept = num.sum(axis=-1)
+            scale = np.where(kept > 0, tot / np.maximum(kept, 1e-300), 1.0)
+            num = num * scale[..., None]
+        else:
+            pad = P_t - P_f
+
+            def zpad(arr, fill=0):
+                w = [(0, 0)] * (arr.ndim - 1) + [(0, pad)]
+                return np.pad(arr, w, constant_values=fill)
+
+            vol, num, pid = zpad(vol), zpad(num), zpad(pid)
+            source, w_class, t_create = zpad(source), zpad(w_class), zpad(t_create)
+            src_id, src_vol = zpad(src_id, -1), zpad(src_vol)
+
+    K_t = a.n_src_comp
+    K_f = src_id.shape[-2]
+    if K_f > K_t:
+        src_id, src_vol = src_id[..., :K_t, :], src_vol[..., :K_t, :]
+    elif K_f < K_t:
+        padk = [(0, 0)] * (src_id.ndim - 2) + [(0, K_t - K_f), (0, 0)]
+        src_id = np.pad(src_id, padk, constant_values=-1)
+        src_vol = np.pad(src_vol, padk)
+
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    i32 = lambda x: jnp.asarray(x, jnp.int32)
+    aero = _dc.replace(
+        a, vol=f32(vol), num=f32(num), pid=i32(pid), source=i32(source),
+        w_class=i32(w_class), t_create=f32(t_create), next_id=i32(next_id),
+        src_id=i32(src_id), src_vol=f32(src_vol))
+    return aero, f32(gas)
+
+
+_DYN_RESTART_FIELDS = ("u", "v", "w", "theta_p", "p_p", "moist", "chem",
+                       "num_conc", "tke", "mu", "ph")
+
+
+def write_restart_netcdf(path: str, cs: CoupledState, aero_data, grid,
+                         writer=None) -> None:
+    """Portable restart: the particle NetCDF schema plus the named dycore
+    prognostics and step counter in one file — readable across particle
+    capacities (and, being whole-domain, across decompositions), unlike the
+    exact-shape npz.  The reference's restart is the same NetCDF-schema
+    design (``wrf_pmc_init.F90:1084-1286``)."""
+    write_particle_netcdf(path, cs, aero_data, grid, writer=None)
+    # append dycore fields to the same file (scipy can't append; re-open and
+    # rewrite is costlier than writing a sibling) -> one sibling file
+    out = _NcOut(path + ".dyn", writer)
+    f = out.f
+    nz, ny, nx = grid.nz, grid.ny, grid.nx
+    for name, n in (("z", nz), ("z_stag", nz + 1), ("y", ny), ("x", nx),
+                    ("moist", cs.dyn.moist.shape[0]),
+                    ("gas_adv", cs.dyn.chem.shape[0]),
+                    ("class", cs.dyn.num_conc.shape[0])):
+        f.createDimension(name, n)
+    dims3 = {"z": ("z", "y", "x"), "z_stag": ("z_stag", "y", "x")}
+
+    def var(name, dims, data):
+        v = f.createVariable(name, "f", dims)
+        v[:] = np.asarray(data, np.float32)
+
+    for name in _DYN_RESTART_FIELDS:
+        val = getattr(cs.dyn, name)
+        if val is None:
+            continue
+        if name == "moist":
+            var(name, ("moist",) + dims3["z"], val)
+        elif name == "chem":
+            var(name, ("gas_adv",) + dims3["z"], val)
+        elif name == "num_conc":
+            var(name, ("class",) + dims3["z"], val)
+        elif name in ("w", "ph"):
+            var(name, dims3["z_stag"], val)
+        elif name == "mu":
+            var(name, ("y", "x"), val)
+        else:
+            var(name, dims3["z"], val)
+    f.step = int(cs.step)
+    out.close()
+
+
+def read_restart_netcdf(path: str, template: CoupledState, aero_data=None):
+    """Read a :func:`write_restart_netcdf` pair back into a CoupledState
+    shaped like ``template`` (particle capacity may differ)."""
+    import jax.numpy as jnp
+    from scipy.io import netcdf_file
+
+    aero, gas = read_particle_netcdf(path, template, aero_data)
+    f = netcdf_file(path + ".dyn", "r", mmap=False)
+    dyn = template.dyn
+    kw = {}
+    for name in _DYN_RESTART_FIELDS:
+        if name in f.variables and getattr(dyn, name) is not None:
+            kw[name] = jnp.asarray(np.array(f.variables[name][:]),
+                                   jnp.float32)
+    step = int(getattr(f, "step", 0))
+    f.close()
+    dyn = dataclasses.replace(dyn, **kw)
+    return dataclasses.replace(template, dyn=dyn, aero=aero, gas=gas,
+                               step=jnp.asarray(step, jnp.int32))
