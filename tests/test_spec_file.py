@@ -158,3 +158,41 @@ def test_reference_em_scm_xy_spec_parses():
     # parse the times/rates rows directly
     d = sf.read_spec(s["aero_emission"][0])
     assert len(d["time"]) == len(d["rate"]) == len(d["dist"]) >= 24
+
+
+def test_init_from_spec_populates_per_level(scenario_dir):
+    """init_from_spec: per-height slabs land on model levels; the scenario
+    injects gas emissions in the surface layer only."""
+    import jax.numpy as jnp
+
+    from wrf_partmc_tpu.config import (Config, DomainConfig, PartmcConfig)
+    from wrf_partmc_tpu.grid import make_grid
+    from wrf_partmc_tpu.models.coupled.init import init_from_spec
+    from wrf_partmc_tpu.models.partmc.scenario import update_gas_state
+    from wrf_partmc_tpu.utils import rng
+
+    cfg = Config(
+        domain=DomainConfig(nx=4, ny=4, nz=6, dx=2000.0, dy=2000.0,
+                            ztop=8000.0),
+        partmc=PartmcConfig(num_particles=16, max_particles=48,
+                            n_emit_slots=4),
+    )
+    grid = make_grid(cfg)
+    aero, gas0, scenario_fn = init_from_spec(
+        AD, GD, cfg, grid, rng.base_key(0),
+        str(scenario_dir / "test.spec"))
+    # population exists at all levels (both slabs use the same dist here)
+    n_alive = np.asarray(aero.n_alive())
+    assert n_alive.min() > 0
+    assert gas0.shape == (6, 4, 4, GD.n_spec)
+    assert float(gas0[0, 0, 0, GD.names.index("O3")]) == 50.0
+
+    scn = scenario_fn(0.0)
+    g1 = update_gas_state(scn, gas0, 0.0, 60.0)
+    d_so2 = np.asarray(g1 - gas0)[..., GD.names.index("SO2")]
+    assert d_so2[0].min() > 0.0            # surface layer emitted into
+    assert abs(d_so2[1:]).max() < 1e-12    # nothing above
+
+    # emission dist present at the surface only
+    assert float(jnp.sum(scn.emit_dist.num_conc[0, 0])) > 0.0
+    assert float(jnp.sum(jnp.abs(scn.emit_dist.num_conc[0, 1:]))) == 0.0

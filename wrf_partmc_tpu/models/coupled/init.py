@@ -136,3 +136,116 @@ def init_from_files(aero_data: AeroData, n_gas: int, cfg: Config, grid: Grid,
             back_gas=_cellify(jnp.asarray(bc_gas)[i], 1))
 
     return aero, scenario_fn
+
+
+def init_from_spec(aero_data: AeroData, gas_data, cfg: Config, grid: Grid,
+                   key, spec_path: str):
+    """PartMC .spec scenario -> initialized population + scenario_fn + gas.
+
+    The spec-file branch of ``init_wrf_partmc`` (the reference reads the
+    per-height scenario of ``WRFV3/test/em_scm_xy/test.spec`` through
+    ``partmc/src/spec_file.F90``): per-height IC aerosol modes and gas
+    profiles are mapped to model levels by height slab, emission time
+    series become the :class:`Scenario` (surface-layer coupling: fluxes are
+    divided by the lowest layer depth, the reference's 1/dz surface-emission
+    coupling in ``wrf_pmc_driver.F90``).
+
+    Returns ``(aero_state, gas0 [nz,ny,nx,G] ppb, scenario_fn)``.
+    """
+    import numpy as np
+
+    from ... import constants as c
+    from ...utils import spec_file as sf
+    from ..partmc.dist import AeroDist
+    from ..partmc.scenario import Scenario
+
+    s = sf.load_scenario_spec(spec_path)
+    z_spec = np.asarray(s["z"])
+    z_half = np.asarray(grid.z_half)
+    # height-slab index per model level (slab k covers [z_k, z_{k+1}))
+    lev = np.clip(np.searchsorted(z_spec, z_half, side="right") - 1, 0,
+                  len(z_spec) - 1)
+
+    # --- per-level ICs: stack per-slab dists along a leading z axis ---
+    ic_by_slab = [sf.read_aero_dist_dat(p, aero_data) for p in s["aero_init"]]
+    n_mode = ic_by_slab[0].n_mode
+    if any(d.n_mode != n_mode for d in ic_by_slab):
+        raise ValueError("aero_init files must agree on mode count")
+    stack = lambda f: jnp.stack([getattr(ic_by_slab[i], f) for i in lev])
+    ic_dist = AeroDist(
+        num_conc=stack("num_conc").reshape(grid.nz, 1, 1, n_mode),
+        geom_mean_diam=stack("geom_mean_diam").reshape(grid.nz, 1, 1, n_mode),
+        log_geom_std=stack("log_geom_std").reshape(grid.nz, 1, 1, n_mode),
+        vol_frac=stack("vol_frac").reshape(grid.nz, 1, 1, n_mode, -1),
+        source=ic_by_slab[0].source, w_class=ic_by_slab[0].w_class)
+    aero = populate_from_dist(aero_data, cfg, grid, ic_dist, key)
+
+    # --- per-level gas init [nz, ny, nx, G] ppb ---
+    gas_prof = np.stack([sf.read_gas_init_dat(p, gas_data)
+                         for p in s["gas_init"]])           # [L, G]
+    gas0 = jnp.asarray(np.broadcast_to(
+        gas_prof[lev][:, None, None, :],
+        (grid.nz, grid.ny, grid.nx, gas_data.n_spec)), jnp.float32)
+
+    # --- emissions (surface slab's series drives the scenario) ---
+    dz0 = float(np.asarray(grid.dz)[0])
+    rho0 = float(c.P0 / (c.R_D * c.T0))       # surface base density approx
+    n_air = rho0 / 0.028964                   # mol air m-3
+    zmask_g = np.zeros((grid.nz, 1, 1, 1), np.float32)
+    zmask_g[0] = 1.0
+    if s["gas_emission"] is not None:
+        gt, gr, gemit = sf.read_gas_emit_dat(s["gas_emission"][0], gas_data)
+        # mol m-2 s-1 -> ppb s-1, deposited in the surface layer only
+        gas_rate = (gemit * gr[:, None] / (dz0 * n_air) * 1e9)[
+            :, None, None, None, :] * zmask_g[None]     # [T, nz, 1, 1, G]
+        emit_times = gt
+    else:
+        emit_times = np.zeros(1)
+        gas_rate = np.zeros((1, grid.nz, 1, 1, gas_data.n_spec))
+    if s["aero_emission"] is not None:
+        at, ar, adists = sf.read_aero_emit_dat(s["aero_emission"][0],
+                                               aero_data)
+        if not np.array_equal(at, emit_times):
+            # resample aerosol series onto the gas time grid (slab lookup)
+            idx = np.clip(np.searchsorted(at, emit_times, side="right") - 1,
+                          0, len(at) - 1)
+            adists = [adists[i] for i in idx]
+            ar = ar[idx]
+        M = adists[0].n_mode
+        zmask = np.zeros((grid.nz, 1, 1, 1), np.float32)
+        zmask[0, 0, 0, 0] = 1.0
+        # dist num_conc is a surface flux [# m-2 s-1]; /dz0 -> [# m-3 s-1]
+        nc = jnp.stack([d.num_conc * float(r) / dz0
+                        for d, r in zip(adists, ar)])       # [T, M]
+        emit_dist = AeroDist(
+            num_conc=nc[:, None, None, None, :] * zmask[None],
+            geom_mean_diam=jnp.stack([d.geom_mean_diam for d in adists]
+                                     )[:, None, None, None, :] + 0 * zmask[None],
+            log_geom_std=jnp.stack([d.log_geom_std for d in adists]
+                                   )[:, None, None, None, :] + 0 * zmask[None],
+            vol_frac=jnp.stack([d.vol_frac for d in adists]
+                               )[:, None, None, None, :, :]
+            + 0 * zmask[None, ..., None],
+            source=adists[0].source, w_class=adists[0].w_class)
+    else:
+        vf = jnp.ones((1, aero_data.n_spec), jnp.float32) / aero_data.n_spec
+        emit_dist = AeroDist(
+            num_conc=jnp.zeros((len(emit_times), 1), jnp.float32),
+            geom_mean_diam=jnp.full((len(emit_times), 1), 1e-7, jnp.float32),
+            log_geom_std=jnp.full((len(emit_times), 1), 0.5, jnp.float32),
+            vol_frac=jnp.broadcast_to(vf, (len(emit_times), 1,
+                                           aero_data.n_spec)),
+            source=jnp.zeros(1, jnp.int32), w_class=jnp.zeros(1, jnp.int32))
+
+    emit_times_j = jnp.asarray(emit_times, jnp.float32)
+    gas_rate_j = jnp.asarray(gas_rate, jnp.float32)
+    back_dist = jax.tree.map(lambda a: jnp.zeros_like(a[0]), emit_dist)
+    back_gas = jnp.zeros(gas_data.n_spec, jnp.float32)
+
+    def scenario_fn(t: float) -> Scenario:
+        return Scenario(emit_times=emit_times_j, emit_dist=emit_dist,
+                        gas_emit_rate=gas_rate_j,
+                        dilution_rate=jnp.zeros((), jnp.float32),
+                        back_dist=back_dist, back_gas=back_gas)
+
+    return aero, gas0, scenario_fn

@@ -69,6 +69,15 @@ def build_model(cfg: Config, case: str = "uniform", seed: int = 0,
     else:
         grid = make_grid(cfg)
         dyn = CASES[case](cfg, grid)
+    if input_files and input_files.get("spec"):
+        from .models.coupled.init import init_from_spec
+
+        cs = init_coupled(cfg, grid, ad, gd, dyn)
+        aero, gas0, scenario_fn = init_from_spec(
+            ad, gd, cfg, grid, rng.base_key(seed), input_files["spec"])
+        cs = dataclasses.replace(cs, aero=aero, gas=gas0)
+        exch = k_profile_exch_h(grid, 0.4, 800.0)
+        return grid, ad, gd, scenario_fn(0.0), cs, exch, scenario_fn
     cs = init_coupled(cfg, grid, ad, gd, dyn)
     scenario_fn = None
     if input_files and input_files.get("ics"):
@@ -173,6 +182,7 @@ def main(argv=None):
     ap.add_argument("--ics", help="IC NetCDF (tools/make_inputs.py contract)")
     ap.add_argument("--emissions", help="emission time-series NetCDF")
     ap.add_argument("--bcs", help="lateral-BC background NetCDF")
+    ap.add_argument("--spec", help="PartMC scenario .spec file")
     ap.add_argument("--wrfinput",
                     help="wrfinput-like NetCDF (real_em on-ramp)")
     args = ap.parse_args(argv)
@@ -188,9 +198,9 @@ def main(argv=None):
 
     validate_config(cfg)          # check_a_mundo at startup
     files = {"ics": args.ics, "emissions": args.emissions, "bcs": args.bcs,
-             "wrfinput": args.wrfinput}
+             "wrfinput": args.wrfinput, "spec": args.spec}
     cs, _ = run(cfg, args.case, args.outdir, args.seed, args.restart,
-                input_files=files if (args.ics or args.wrfinput) else None)
+                input_files=files if any(files.values()) else None)
     print(json.dumps({"steps": int(cs.step),
                       "total_particles": float(cs.aero.total_num().sum())}))
 
