@@ -67,7 +67,7 @@ class DynamicsConfig:
     smdiv: float = 0.1            # divergence damping coefficient
     constant_velocity: bool = False  # PMC_CONSTANT_VEL: freeze dynamics
                                      # (solve_em.F:535,1326,1548)
-    mp_physics: int = 0              # 0=off, 1=Kessler warm rain
+    mp_physics: int = 0              # 0=off, 1=Kessler warm rain, 2=WSM5-class ice
     ra_physics: int = 0              # 0=off, 1=Dudhia-class SW + gray LW
                                      # (radiation_driver equivalent; aerosol
                                      # direct effect when partmc.do_optical)
@@ -192,6 +192,10 @@ def validate_config(cfg: Config) -> Config:
         errs.append(f"domain too small: {d.nx}x{d.ny}x{d.nz}")
     if dy.dt <= 0:
         errs.append("dynamics.dt must be positive")
+    if dy.mp_physics == 1 and cfg.n_moist < 3:
+        errs.append("mp_physics=1 (Kessler) needs n_moist >= 3")
+    if dy.mp_physics == 2 and cfg.n_moist < 5:
+        errs.append("mp_physics=2 (WSM5-class) needs n_moist >= 5 (qv qc qr qi qs)")
     if (dy.h_adv_order not in (1, 2, 3, 4, 5, 6, "weno5", "weno3")
             or dy.v_adv_order not in (1, 2, 3, "weno3", "weno5")):
         errs.append(f"unsupported advection orders h={dy.h_adv_order} v={dy.v_adv_order}")

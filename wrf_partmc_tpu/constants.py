@@ -36,3 +36,7 @@ STD_PRESSURE = 101325.0     # standard atmosphere [Pa]
 import math as _math
 
 PI = _math.pi
+ICE_LATENT_HEAT_SUB = 2.834e6   # latent heat of sublimation [J kg-1]
+ICE_LATENT_HEAT_FUS = 3.34e5    # latent heat of fusion [J kg-1]
+T_FREEZE = 273.15               # freezing point [K]
+T_HOMOG = 238.15                # homogeneous freezing threshold [K]

@@ -571,5 +571,9 @@ def solve_step_arw(state: DycoreState, grid: Grid, cfg: Config):
         from ...models.physics.microphysics import kessler_step
 
         new = kessler_step(new, grid, dyn.dt)
+    elif dyn.mp_physics == 2:
+        from ...models.physics.microphysics import wsm5_step
+
+        new = wsm5_step(new, grid, dyn.dt)
     return new, StepDiag(probs=probs, xkhh=xkhh, rho_u=U_avg, rho_v=V_avg,
                          rho_w=fzm_avg)
