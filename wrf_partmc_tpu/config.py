@@ -77,6 +77,7 @@ class DynamicsConfig:
                                      # (sfclay + bl_ysu equivalents)
     sfc_z0: float = 0.1              # roughness length [m] (znt)
     sfc_heat_excess: float = 1.0     # idealized daytime skin-theta excess [K]
+    sf_surface_physics: int = 0      # 0=prescribed excess, 1=slab LSM (force-restore)
                                      # (scaled by cos zenith; slab LSM later)
     vert_diff_fields: bool = True    # implicit vertical diffusion of
                                      # u/v/theta/moist/chem/tke from exch_h
@@ -192,6 +193,15 @@ def validate_config(cfg: Config) -> Config:
         errs.append(f"domain too small: {d.nx}x{d.ny}x{d.nz}")
     if dy.dt <= 0:
         errs.append("dynamics.dt must be positive")
+    # acoustic CFL (check_a_mundo's dt-vs-dx guidance, made exact for the
+    # split-explicit substeps: c_s * dtau / dx must stay < 1)
+    if dy.dt > 0 and dy.n_sound > 0:
+        cfl_s = 350.0 * (dy.dt / dy.n_sound) / min(d.dx, d.dy)
+        if cfl_s >= 1.0:
+            errs.append(
+                f"acoustic substep CFL {cfl_s:.2f} >= 1 "
+                f"(dt={dy.dt}, n_sound={dy.n_sound}, dx={d.dx}): "
+                "reduce dt or raise n_sound")
     if dy.mp_physics == 1 and cfg.n_moist < 3:
         errs.append("mp_physics=1 (Kessler) needs n_moist >= 3")
     if dy.mp_physics == 2 and cfg.n_moist < 5:

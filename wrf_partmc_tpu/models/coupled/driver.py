@@ -59,6 +59,8 @@ class CoupledState:
     aero: AeroState          # cell shape (nz, ny, nx)
     gas: jax.Array           # [nz, ny, nx, G] ppb
     step: jax.Array          # scalar int32
+    # slab-LSM soil state (sf_surface_physics=1); None otherwise
+    land: object | None = None
 
 
 def cell_air_mass(dyn: DycoreState, grid: Grid):
@@ -255,8 +257,15 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
         theta = grid.t_base.reshape(-1, 1, 1) + dyn2.theta_p
         u1 = 0.5 * (dyn2.u[0] + shift(dyn2.u[0], 1, AXIS_X))
         v1 = 0.5 * (dyn2.v[0] + shift(dyn2.v[0], 1, AXIS_Y))
-        thsfc = theta[0] + cfg.dynamics.sfc_heat_excess * jnp.maximum(
-            cosz, -0.25)
+        if cs.land is not None:
+            # slab-LSM skin theta (module_sf_slab TSK -> theta at surface)
+            from ... import constants as c
+
+            exner_sfc = (grid.pb3[0] / c.P0) ** c.KAPPA
+            thsfc = cs.land.tsk / exner_sfc
+        else:
+            thsfc = theta[0] + cfg.dynamics.sfc_heat_excess * jnp.maximum(
+                cosz, -0.25)
         sfc = surface_layer(u1, v1, theta[0], thsfc, grid.z_half[0],
                             z0=cfg.dynamics.sfc_z0)
         h_pbl = pbl_height(theta, grid.z_half)
@@ -317,8 +326,27 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
                                         env.cell_volume)
         hr, _rad_diag = radiation_driver(
             temperature(dyn2, grid), dyn2.moist[0], rho3, grid.dz, cosz,
+            t_sfc=(cs.land.tsk if cs.land is not None else None),
             optics=optics)
         dyn2 = dataclasses.replace(dyn2, theta_p=dyn2.theta_p + dt * hr)
+
+        # slab-LSM energy balance update (module_sf_slab; uses this step's
+        # radiation + the surface layer's u*)
+        if cs.land is not None and sfc_ustar is not None:
+            from ... import constants as c
+            from ..physics.lsm import slab_lsm_step
+
+            exner_sfc = (grid.pb3[0] / c.P0) ** c.KAPPA
+            rho1 = rho3[0]
+            th1 = grid.t_base[0] + dyn2.theta_p[0]
+            land2, _sfc_fluxes = slab_lsm_step(
+                cs.land, _rad_diag["sw_sfc_down"], _rad_diag["lw_sfc_down"],
+                temperature(dyn2, grid)[0], dyn2.moist[0][0], rho1,
+                sfc_ustar, exner_sfc, th1, dt)
+        else:
+            land2 = cs.land
+    else:
+        land2 = cs.land
 
     # stochastic transport (+ deposition at the surface layer)
     if pc.do_transport:
@@ -340,7 +368,8 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
     aero = rebalance(aero, keys[rng.STREAM_REBALANCE], pc.num_particles,
                      pc.allow_halving, pc.allow_doubling)
 
-    return CoupledState(dyn=dyn2, aero=aero, gas=gas, step=cs.step + 1)
+    return CoupledState(dyn=dyn2, aero=aero, gas=gas, step=cs.step + 1,
+                        land=land2)
 
 
 def init_coupled(cfg: Config, grid: Grid, aero_data: AeroData,
@@ -348,8 +377,14 @@ def init_coupled(cfg: Config, grid: Grid, aero_data: AeroData,
     aero = zero_state(aero_data, cfg.partmc.max_particles,
                       cell_shape=(grid.nz, grid.ny, grid.nx))
     gas = jnp.zeros((grid.nz, grid.ny, grid.nx, gas_data.n_spec), jnp.float32)
+    land = None
+    if cfg.dynamics.sf_surface_physics == 1:
+        from ..physics.lsm import init_land
+
+        t_sfc0 = float(jnp.asarray(grid.t_base)[0])   # theta ~ T at surface
+        land = init_land(grid.ny, grid.nx, t_sfc0)
     return CoupledState(dyn=dyn, aero=aero, gas=gas,
-                        step=jnp.asarray(0, jnp.int32))
+                        step=jnp.asarray(0, jnp.int32), land=land)
 
 
 def run_coupled(cs: CoupledState, grid: Grid, cfg: Config,
