@@ -26,41 +26,21 @@ import jax.numpy as jnp
 
 
 def _timeit(fn, *args, n=3, name="", inner=8):
-    """Per-call time with dispatch latency removed: the op is iterated
-    ``inner`` times inside one jit (output of iteration i feeds a dummy
-    dependency of i+1 via a scalar perturbation so XLA cannot CSE them),
-    and the cost is the slope between scan lengths 1 and 1+inner."""
-
-    def perturb(a, eps):
-        if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating):
-            return jnp.asarray(a) + eps.astype(jnp.asarray(a).dtype)
-        return a
-
-    def chain(k):
-        def run(carry, i):
-            eps = carry * 1e-30
-            args_p = jax.tree.map(lambda a: perturb(a, eps), args)
-            out = fn(*args_p)
-            leaves = [x for x in jax.tree.leaves(out)
-                      if jnp.issubdtype(x.dtype, jnp.floating)]
-            tag = sum(jnp.sum(x.astype(jnp.float32)) for x in leaves) * 0.0 + i
-            return tag * 1e-30, None
-
-        acc, _ = jax.lax.scan(run, jnp.float32(0.0),
-                              jnp.arange(k, dtype=jnp.float32))
-        return acc
-
-    f1 = jax.jit(lambda: chain(1)).lower().compile()
-    fN = jax.jit(lambda: chain(1 + inner)).lower().compile()
-    jax.block_until_ready(f1()); jax.block_until_ready(fN())
-    b1 = bN = float("inf")
+    """Per-call time with dispatch latency amortized: dispatches are async,
+    so queueing ``inner`` calls back-to-back and blocking once overlaps the
+    host dispatch of call i+1 with device execution of call i."""
+    f = jax.jit(fn)
+    args = jax.tree.map(
+        lambda a: jax.device_put(a) if hasattr(a, "dtype") else a, args)
+    out = jax.block_until_ready(f(*args))
+    best = float("inf")
     for _ in range(n):
-        t0 = time.perf_counter(); jax.block_until_ready(f1())
-        b1 = min(b1, time.perf_counter() - t0)
-        t0 = time.perf_counter(); jax.block_until_ready(fN())
-        bN = min(bN, time.perf_counter() - t0)
-    out = jax.jit(fn)(*args)
-    return max((bN - b1) / inner, 1e-9), out
+        t0 = time.perf_counter()
+        for _ in range(inner):
+            out = f(*args)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / inner)
+    return best, out
 
 
 def _report(name, t, nbytes=None, flops=None):
@@ -193,10 +173,14 @@ def profile_coupled(nx, ny, nz, n_part, cap):
     _report("vertical_operator (B^N A)", t)
 
     p_hdiff = T.horizontal_diffusion_probs(diag.xkhh, grid, 10.0)
+    ph = T.normalized_face_probs(diag.probs, p_hdiff)
     t, dests = _timeit(
-        lambda a: T.sample_destinations(a, diag.probs, p_hdiff, R, grid, cfg,
-                                        key), cs.aero)
+        lambda a: T.sample_destinations(a, ph, R, grid, cfg, key), cs.aero)
     _report("sample_destinations", t, nbytes=state_b // 6)
+
+    t, _ = _timeit(
+        lambda a: T.preweight_acceptance(a, ph, R, grid, cfg), cs.aero)
+    _report("preweight_acceptance", t)
 
     nk, nj, ni, out = dests
     t, _ = _timeit(lambda a: T.rebucket(a, nk, nj, ni, grid), cs.aero)
