@@ -113,10 +113,13 @@ def test_components_survive_transport_roundtrip():
                        jnp.full((grid.nz, grid.ny, grid.nx, 2), 3),
                        jnp.zeros((grid.nz, grid.ny, grid.nx, 2), jnp.int32))
     vbs0 = np.asarray(st.vol_by_source(5)).sum(axis=(0, 1, 2))
-    kk = jax.lax.broadcasted_iota(jnp.int32, st.num.shape, 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, st.num.shape, 1)
-    ii = (jax.lax.broadcasted_iota(jnp.int32, st.num.shape, 2) + 1) % grid.nx
-    out = rebucket(st, kk, jj, ii, grid)
+    shp = st.num.shape
+    kk = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
+    out, _ = rebucket(st, kk, jnp.zeros(shp, jnp.int32),
+                      jnp.ones(shp, jnp.int32), jnp.ones(shp, bool),
+                      jnp.zeros(shp, bool),
+                      jnp.ones((grid.nz, grid.ny, grid.nx)), grid, cfg,
+                      jax.random.key(0))
     vbs1 = np.asarray(out.vol_by_source(5)).sum(axis=(0, 1, 2))
     np.testing.assert_allclose(vbs1, vbs0, rtol=1e-5)
     assert (np.asarray(out.src_id)[..., 0, :][np.asarray(out.alive)] == 3).all()

@@ -157,23 +157,36 @@ def test_rebucket_conserves_and_places():
     grid = make_grid(cfg)
     conc = jnp.full((grid.nz, grid.ny, grid.nx), 1e8)
     aero = populate_from_number_field(AD, cfg, grid, conc, jax.random.key(3))
-    # move everything one cell +x
-    kk = jax.lax.broadcasted_iota(jnp.int32, aero.num.shape, 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, aero.num.shape, 1)
-    ii = (jax.lax.broadcasted_iota(jnp.int32, aero.num.shape, 2) + 1) % grid.nx
-    out = rebucket(aero, kk, jj, ii, grid)
+    shp = aero.num.shape
+    kk = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
+    acc = jnp.ones((grid.nz, grid.ny, grid.nx))
+    drop = jnp.zeros(shp, bool)
+    zero = jnp.zeros(shp, jnp.int32)
+    # move every particle one cell +x (periodic)
+    out, diag = rebucket(aero, kk, zero, jnp.ones(shp, jnp.int32),
+                         jnp.ones(shp, bool), drop, acc, grid, cfg,
+                         jax.random.key(9))
     np.testing.assert_allclose(float(out.total_num().sum()),
                                float(aero.total_num().sum()), rtol=1e-5)
-    # per-cell totals unchanged (uniform field shifted periodically)
-    np.testing.assert_allclose(np.asarray(out.total_num()),
-                               np.asarray(aero.total_num()), rtol=1e-4)
-    # overflow case: send everything to cell (0,0,0)
-    z = jnp.zeros_like(kk)
-    out2 = rebucket(aero, z, z, z, grid)
-    assert int(out2.n_alive()[0, 0, 0]) == aero.capacity
-    assert float(out2.n_alive().sum()) == aero.capacity  # all elsewhere empty
+    np.testing.assert_allclose(
+        np.asarray(out.total_num()),
+        np.asarray(jnp.roll(aero.total_num(), 1, axis=2)), rtol=1e-4)
+    assert float(diag["overflow_class"]) == 0.0
+    assert float(diag["overflow_free"]) == 0.0
+
+    # vertical collapse to level 0 with a tight per-class cap: shipped-
+    # survivor rescale conserves represented number despite class overflow
+    cfg2 = cfg.replace(partmc=dataclasses.replace(cfg.partmc, trans_cap_v=4))
+    out2, diag2 = rebucket(aero, zero, zero, zero, jnp.zeros(shp, bool),
+                           drop, acc, grid, cfg2, jax.random.key(10))
     np.testing.assert_allclose(float(out2.total_num().sum()),
                                float(aero.total_num().sum()), rtol=1e-4)
+    assert float(diag2["overflow_class"]) > 0.0
+    # upper level fully drained into level 0
+    assert float(out2.total_num()[1:].sum()) == 0.0
+    tn = np.asarray(out2.total_num()[0])
+    np.testing.assert_allclose(tn, np.asarray(aero.total_num()).sum(axis=0),
+                               rtol=1e-4)
 
 
 @pytest.mark.slow

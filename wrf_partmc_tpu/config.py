@@ -142,6 +142,11 @@ class PartmcConfig:
     weight_rescale_trigger: float = 2.0  # preweight rescale when projected
                                          # count > trigger * ideal
                                          # (wrf_pmc_trans_aero.F90:1374-1402)
+    trans_cap_v: int = 0           # per-(cell, dest-level) mover cap in the
+                                   # MXU rebucket (0 -> max(16, P // 16));
+                                   # overflow is counted and conserved by
+                                   # shipped-survivor rescale
+    trans_cap_h: int = 0           # per-(cell, face) horizontal mover cap
     w_prob_cap: float = 0.95       # vertical-face move-probability cap
                                    # (wrf_pmc_trans.F90:236-284)
     num_bins: int = 100            # diagnostic bin grid (registry.partmc_process:1)

@@ -27,7 +27,7 @@ from ...config import Config
 from ...grid import Grid
 from ..dycore.state import DycoreState
 from ..partmc.aero_data import AeroData
-from ..partmc.aero_state import AeroState, compact
+from ..partmc.aero_state import AeroState
 from ..partmc.dist import dist_number_conc, sample_particles
 from ..partmc.scenario import Scenario
 
@@ -88,4 +88,4 @@ def resample_inflow_particles(aero: AeroState, dyn: DycoreState,
         t_create=jnp.where(m, 0.0, aero.t_create),
         next_id=aero.next_id + jnp.where(inflow, n_bc, 0),
     )
-    return compact(new)
+    return new

@@ -203,7 +203,10 @@ def preweight_acceptance(aero: AeroState, ph, R, grid: Grid, cfg: Config):
     # the acceptance in ordinary flow whenever emissions fill a cell.
     free = jnp.maximum(0.95 * aero.capacity - n_keep, 0.0)
     acc = jnp.where(n_in > free, free / jnp.maximum(n_in, 1e-6), 1.0)
-    return jnp.maximum(acc, 1.0 / 64.0)
+    # floor: below ~1/8 the 1/acc multiplicity inflation dominates the MC
+    # variance; the residual bound is the deterministic free-slot fold in
+    # rebucket (number-exact, composition-biased only at saturation)
+    return jnp.maximum(acc, 1.0 / 8.0)
 
 
 def _gather_by_class(field_cf, cls_onehot):
@@ -259,77 +262,21 @@ def sample_moves(aero: AeroState, ph, R, n_class: int, key):
     return dj, di, dest_k, horizontal
 
 
-def sample_destinations(aero: AeroState, ph, R, grid: Grid, cfg: Config, key):
-    """Per-particle destination cell (k', j', i') — the aero_state_multisample
-    equivalent.  Returns int32 arrays [nz, ny, nx, P] plus the out-of-domain
-    mask for open boundaries."""
+def open_boundary_drop(dj, di, horizontal, grid: Grid, cfg: Config,
+                       ix0=0, iy0=0):
+    """Mask of particles sampled across an open lateral boundary (the
+    outflow-discard of ``wrf_pmc_trans_aero.F90:811-955``).  ix0/iy0 are the
+    shard's global offsets (0 on a single device)."""
     nz, ny, nx = grid.nz, grid.ny, grid.nx
-    P = aero.capacity
-    dj, di, dest_k, horizontal = sample_moves(aero, ph, R, cfg.n_class, key)
-
-    kk = jax.lax.broadcasted_iota(jnp.int32, (nz, ny, nx, P), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (nz, ny, nx, P), 1)
-    ii = jax.lax.broadcasted_iota(jnp.int32, (nz, ny, nx, P), 2)
-
-    new_k = jnp.where(horizontal, kk, dest_k)
-    new_j = jj + dj
-    new_i = ii + di
-    out = jnp.zeros_like(new_i, dtype=bool)
-    if cfg.boundary.periodic_x:
-        new_i = new_i % nx
-    else:
-        out = out | (new_i < 0) | (new_i >= nx)   # leaves the open domain
-        new_i = jnp.clip(new_i, 0, nx - 1)
-    if cfg.boundary.periodic_y:
-        new_j = new_j % ny
-    else:
-        out = out | (new_j < 0) | (new_j >= ny)
-        new_j = jnp.clip(new_j, 0, ny - 1)
-    return new_k, new_j, new_i, out
-
-
-def _pack_rows(aero: AeroState):
-    """[N, CH] packed per-particle payload (same row schema as
-    aero_state._pack_payload: num, t_create, pid, source, w_class, vol(S),
-    src_vol(K), src_id(K))."""
-    from ...models.partmc.aero_state import _pack_payload
-
-    return _pack_payload(aero)
-
-
-def _rows_to_state(aero: AeroState, rows, cshape) -> AeroState:
-    """rows: [C, P, CH] -> state with cell shape cshape (== aero's)."""
-    from ...models.partmc.aero_state import _unpack_payload
-
-    return _unpack_payload(aero, rows.reshape(*cshape, aero.capacity,
-                                              rows.shape[-1]))
-
-
-def _bucket_rows(payload, dest_flat, C: int, P: int):
-    """Sort an [N_pool, CH] particle pool into [C, P, CH] destination buckets
-    (dead/sentinel rows carry dest = C).  With preweighting active, overflow
-    beyond P slots is statistically rare; when it does occur represented
-    number is conserved by rescaling the survivors in that bucket (the
-    backstop, not the primary bound)."""
-    N = payload.shape[0]
-    order = jnp.argsort(dest_flat, stable=True)
-    counts = jnp.bincount(dest_flat, length=C + 1)
-    starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                              jnp.cumsum(counts[:-1]).astype(jnp.int32)])
-    tot_in = jax.ops.segment_sum(payload[:, 0], dest_flat, num_segments=C + 1)
-
-    slot = jnp.arange(P, dtype=jnp.int32)
-    cells = jnp.arange(C, dtype=jnp.int32)
-    src_pos = starts[cells][:, None] + slot[None, :]
-    valid = slot[None, :] < jnp.minimum(counts[cells][:, None], P)
-    src_pos = jnp.clip(src_pos, 0, N - 1)
-    gather_idx = order[src_pos]
-    rows = jnp.where(valid[..., None], payload[gather_idx], 0.0)  # [C, P, CH]
-
-    num = rows[..., 0]
-    kept = jnp.sum(num, axis=-1)
-    scale = jnp.where(kept > 0, tot_in[:C] / jnp.maximum(kept, 1e-300), 1.0)
-    return rows.at[..., 0].set(num * scale[:, None])
+    shp = dj.shape
+    drop = jnp.zeros(shp, bool)
+    if not cfg.boundary.periodic_x:
+        gi = ix0 + lax.broadcasted_iota(jnp.int32, shp, 2) + di
+        drop = drop | (horizontal & ((gi < 0) | (gi >= nx)))
+    if not cfg.boundary.periodic_y:
+        gj = iy0 + lax.broadcasted_iota(jnp.int32, shp, 1) + dj
+        drop = drop | (horizontal & ((gj < 0) | (gj >= ny)))
+    return drop
 
 
 def _apply_preweight_thin(num, alive, acc_at_dest, key):
@@ -342,24 +289,169 @@ def _apply_preweight_thin(num, alive, acc_at_dest, key):
     return jnp.where(keep, num / jnp.maximum(acc_at_dest, 1e-6), 0.0)
 
 
-def rebucket(aero: AeroState, new_k, new_j, new_i, grid: Grid) -> AeroState:
-    """Move particles to their destination cells with one flattened stable
-    sort (replaces per-cell delta_aero_states + neighbor MPI packing,
-    ``wrf_pmc_trans_aero.F90:356-804``)."""
-    nz, ny, nx = grid.nz, grid.ny, grid.nx
-    P = aero.capacity
-    C = nz * ny * nx
-    N = C * P
+# ---------------------------------------------------------------------------
+# MXU rebucket: movers are extracted per cell into static per-destination
+# mini-regions (one dense one-hot matmul), the mini-regions are turned into
+# per-destination-cell arrival buffers by pure reshapes/transposes/rolls (the
+# static per-(src,dst) caps make the cross-cell reorder a transpose), and
+# arrivals are placed into free slots of their destination cell (a second
+# dense one-hot matmul).  Stayers never move.  This replaces the round-2
+# global argsort + row gather (which ran at ~5 GB/s on TPU) and the
+# reference's per-cell delta_aero_states + MPI packing
+# (``wrf_pmc_trans_aero.F90:356-804``).
+# ---------------------------------------------------------------------------
 
-    dest = (new_k * ny + new_j) * nx + new_i        # [nz, ny, nx, P]
-    dest_flat = jnp.where(aero.alive.reshape(N), dest.reshape(N), C)
-    rows = _bucket_rows(_pack_rows(aero), dest_flat, C, P)
-    return _rows_to_state(aero, rows, (nz, ny, nx))
+
+def _caps(cfg: Config, P: int):
+    """Per-(source-cell, destination-class) mover caps.  Overflow beyond a
+    cap conserves represented number by rescaling the shipped survivors of
+    that (cell, class); the hit rate is returned in the transport diag."""
+    av = cfg.partmc.trans_cap_v or max(16, P // 16)
+    ah = cfg.partmc.trans_cap_h or max(16, P // 16)
+    return av, ah
+
+
+def rebucket(aero: AeroState, dest_k, dj, di, horizontal, drop, acc,
+             grid: Grid, cfg: Config, key, roll_fn=None):
+    """Move particles to their sampled destination cells.
+
+    dest_k/dj/di/horizontal: per-particle move sample ([nz, ny, nx, P]);
+    a particle either moves horizontally by one cell (dj/di, keeping k) or
+    redistributes vertically to dest_k within its column.  ``drop`` marks
+    particles leaving an open domain.  ``acc`` [nz, ny, nx] is the preweight
+    acceptance applied (destination-side) to arrivals.  ``roll_fn`` overrides
+    the horizontal wrap (sharded edge exchange).  Cell dims come from the
+    (possibly shard-local) aero arrays, not the global grid.
+
+    Returns (new_aero, diag) with overflow counters.
+    """
+    from ...models.partmc.aero_state import pack_payload, unpack_payload
+    from ...ops.place import gather_rows, scatter_rows
+
+    nz, nyl, nxl, P = aero.num.shape
+    C = nz * nyl * nxl
+    Av, Ah = _caps(cfg, P)
+    F1 = nz * Av + 4 * Ah          # per-cell mover-region width
+    AB = nz * Av + 4 * Ah          # per-cell arrival-buffer width
+
+    kk = lax.broadcasted_iota(jnp.int32, aero.num.shape, 0)
+    alive = aero.alive & ~drop
+    vert = (~horizontal) & (dest_k != kk)
+    # destination class: 0..nz-1 = vertical target level, nz+d = horizontal
+    # face d (0=W -x, 1=E +x, 2=S -y, 3=N +y)
+    hdir = jnp.where(di < 0, 0, jnp.where(di > 0, 1,
+                     jnp.where(dj < 0, 2, 3)))
+    dcode = jnp.where(vert, dest_k, jnp.where(horizontal, nz + hdir, -1))
+    dcode = jnp.where(alive, dcode, -1)
+    mover = dcode >= 0
+    D = nz + 4
+
+    # rank of each mover within its (cell, class): positional cumsum
+    oh = jax.nn.one_hot(jnp.where(mover, dcode, D), D + 1,
+                        dtype=jnp.float32)[..., :D]        # [nz,ny,nx,P,D]
+    csum = jnp.cumsum(oh, axis=-2)
+    rank = jnp.einsum("...pd,...pd->...p", csum - oh, oh).astype(jnp.int32)
+    cnt = csum[..., -1, :]                                 # [nz,ny,nx,D]
+
+    cap_d = jnp.concatenate([jnp.full((nz,), Av, jnp.int32),
+                             jnp.full((4,), Ah, jnp.int32)])
+    base_d = jnp.concatenate([
+        jnp.arange(nz, dtype=jnp.int32) * Av,
+        nz * Av + jnp.arange(4, dtype=jnp.int32) * Ah])
+    cap_p = jnp.where(mover, cap_d[jnp.clip(dcode, 0, D - 1)], 0)
+    shipped = mover & (rank < cap_p)
+
+    # class-overflow conservation: rescale shipped movers of each (cell,
+    # class) to carry the full departing represented number
+    num_d = jnp.einsum("...p,...pd->...d", aero.num, oh)
+    ship_oh = oh * shipped[..., None]
+    num_ship = jnp.einsum("...p,...pd->...d", aero.num, ship_oh)
+    scale_d = jnp.where(num_ship > 0, num_d / jnp.maximum(num_ship, 1e-300),
+                        1.0)
+    scale_p = jnp.einsum("...d,...pd->...p", scale_d, ship_oh)
+    num_mv = jnp.where(shipped, aero.num * jnp.maximum(scale_p, 1.0), 0.0)
+    ovf_class = jnp.sum(jnp.maximum(cnt - cap_d.astype(jnp.float32), 0.0))
+
+    # T1: extract shipped movers into per-cell per-class mini-regions
+    payload = pack_payload(aero)                           # [C, CH, P]
+    CH = payload.shape[1]
+    payload = payload.at[:, 0, :].set(num_mv.reshape(C, P))
+    dst1 = jnp.where(shipped, base_d[jnp.clip(dcode, 0, D - 1)] + rank, -1)
+    minis = scatter_rows(payload, dst1.reshape(C, P), F1)  # [C, CH, F1]
+
+    # cross-cell reorder by pure reshapes/transposes/rolls
+    m5 = minis.reshape(nz, nyl, nxl, CH, F1)
+    mv = m5[..., :nz * Av].reshape(nz, nyl, nxl, CH, nz, Av)
+    arr_v = jnp.moveaxis(mv, 4, 0)                         # [kd, ks, ny, nx, CH, Av]
+    arr_v = jnp.moveaxis(arr_v, 1, 4)                      # [kd, ny, nx, CH, ks, Av]
+    arr_v = arr_v.reshape(nz, nyl, nxl, CH, nz * Av)
+    mh = m5[..., nz * Av:].reshape(nz, nyl, nxl, CH, 4, Ah)
+    # W-movers of column i arrive in column i-1, etc.; under open BCs the
+    # edge movers were already dropped, so the wrapped rows are zero.  On a
+    # device mesh roll_fn patches the wrapped column with the neighbor
+    # shard's edge buffer over ICI (transport_step_sharded).
+    roll = roll_fn or (lambda slab, shift, axis: jnp.roll(slab, shift, axis))
+    arr_w = roll(mh[..., 0, :], -1, 2)
+    arr_e = roll(mh[..., 1, :], 1, 2)
+    arr_s = roll(mh[..., 2, :], -1, 1)
+    arr_n = roll(mh[..., 3, :], 1, 1)
+    arr = jnp.concatenate([arr_v, arr_w, arr_e, arr_s, arr_n], axis=-1)
+    arr = arr.reshape(C, CH, AB)
+
+    # destination-side preweight thinning of arrivals (equivalent to the
+    # reference's source-side weight-ratio thinning — the Bernoulli draw is
+    # independent of the move)
+    u = jax.random.uniform(key, (C, AB))
+    acc_c = acc.reshape(C, 1)
+    a_num = arr[:, 0, :]
+    keep = (u < acc_c) & (a_num > 0.0)
+    arr = arr.at[:, 0, :].set(
+        jnp.where(keep, a_num / jnp.maximum(acc_c, 1e-6), 0.0))
+
+    # T2: place arrivals into free slots of the destination cell
+    a_alive = arr[:, 0, :] > 0.0
+    a_rank = jnp.cumsum(a_alive.astype(jnp.int32), axis=-1) - 1
+    stay_keep = (aero.alive & ~drop & ~mover).reshape(C, P)
+    free = ~stay_keep
+    n_free = jnp.sum(free, axis=-1)
+    f_rank = jnp.cumsum(free.astype(jnp.int32), axis=-1) - 1
+    # slot index (+1) of the r-th free slot, via a tiny iota scatter
+    slot1 = (lax.broadcasted_iota(jnp.int32, (C, 1, P), 2) + 1
+             ).astype(jnp.float32)
+    dstf = jnp.where(free & (f_rank < AB), f_rank, -1)
+    slot_of_rank = scatter_rows(slot1, dstf, AB)           # [C, 1, AB]
+    placed = a_alive & (a_rank < n_free[:, None])
+    tot_arr = jnp.sum(arr[:, 0, :], axis=-1)
+    ovf_free = jnp.sum(jnp.where(a_alive & ~placed, 1.0, 0.0))
+
+    srcr = jnp.where(placed, a_rank, -1)
+    dst_slot = jnp.round(gather_rows(slot_of_rank, srcr)[:, 0, :]
+                         ).astype(jnp.int32) - 1           # [C, AB]
+    arrived = scatter_rows(arr, dst_slot, P)               # [C, CH, P]
+
+    # merge: stayers keep their slots; arrivals land in (disjoint) free slots
+    stay_pl = pack_payload(aero) * stay_keep[:, None, :]
+    merged = arrived + stay_pl
+    # free-slot overflow conservation: arrival number that could not be
+    # placed (cell saturated with stayers) is folded onto the whole cell by
+    # a multiplicity rescale — the bucket-level conservation the reference's
+    # weight rescale provides under convergent flow
+    # (``wrf_pmc_trans_aero.F90:1374-1402``)
+    stay_num = jnp.sum(stay_pl[:, 0, :], axis=-1)
+    actual = jnp.sum(merged[:, 0, :], axis=-1)
+    scale_cell = jnp.where(actual > 0,
+                           (stay_num + tot_arr) / jnp.maximum(actual, 1e-300),
+                           1.0)
+    merged = merged.at[:, 0, :].multiply(
+        jnp.maximum(scale_cell, 1.0)[:, None])
+    new = unpack_payload(aero, merged)
+    diag = {"overflow_class": ovf_class, "overflow_free": ovf_free,
+            "movers": jnp.sum(mover.astype(jnp.float32))}
+    return new, diag
 
 
 def transport_step_sharded(aero: AeroState, probs: OutflowProbs, xkhh, exch_h,
-                           grid: Grid, cfg: Config, dt, key, mesh,
-                           face_capacity: int | None = None) -> AeroState:
+                           grid: Grid, cfg: Config, dt, key, mesh) -> AeroState:
     """Distributed transport over a 2-D ('y','x') device mesh — the explicit
     TPU equivalent of the reference's neighbor particle exchange
     (``wrf_pmc_trans_aero.F90``: ghost delta_aero_states packed and
@@ -368,28 +460,20 @@ def transport_step_sharded(aero: AeroState, probs: OutflowProbs, xkhh, exch_h,
     The probability fields (face probs, vertical operator R, preweight
     acceptance) are built *outside* the shard_map — they are small Eulerian
     fields whose one-cell halos GSPMD handles.  Inside the shard_map each
-    shard: exchanges a one-cell halo of the acceptance field over ICI,
-    preweight-thins its own particles against their destination's acceptance,
-    samples moves, buckets the stayers with a *local* sort, and ships
-    cross-shard movers through four fixed-capacity face buffers exchanged by
-    ``lax.ppermute``.  A particle crosses exactly one face per step
-    (single-cell moves), so no corner exchange is needed — same property the
-    reference exploits.  Face-buffer overflow conserves represented number by
-    rescaling the shipped movers to carry the full departing number (the
-    reference never drops; preweighting keeps expected per-face counts small).
+    shard samples moves and runs the same MXU rebucket as the single-device
+    path; the only cross-shard traffic is the per-face mover mini-buffers of
+    the shard's edge columns, exchanged by ``lax.ppermute`` inside the
+    rebucket's roll hook.  A particle crosses exactly one face per step, so
+    no corner exchange is needed — the same property the reference exploits.
+    Preweight acceptance is applied at the *destination*, so no acceptance
+    halo is exchanged at all.
     """
     from jax.sharding import PartitionSpec as PS
     shard_map = jax.shard_map
 
     nz, ny, nx = grid.nz, grid.ny, grid.nx
-    P = aero.capacity
-    S = aero.vol.shape[-2]
-    CH = 5 + S + 2 * aero.n_src_comp
     py, px = (mesh.shape["y"], mesh.shape["x"])
     ny_l, nx_l = ny // py, nx // px
-    N_l = nz * ny_l * nx_l * P
-    C_l = nz * ny_l * nx_l
-    F = face_capacity or max(64, nz * max(ny_l, nx_l) * P // 4)
 
     # Eulerian probability fields: GSPMD inserts the halo collectives
     p_hdiff = horizontal_diffusion_probs(xkhh, grid, dt)
@@ -414,6 +498,26 @@ def transport_step_sharded(aero: AeroState, probs: OutflowProbs, xkhh, exch_h,
     minus_y = [(i, (i - 1) % py) for i in range(py)]
     plus_y = [(i, (i + 1) % py) for i in range(py)]
 
+    def roll_fn(slab, shift, axis):
+        """Shift mover mini-buffers one column over, patching the wrapped
+        edge with the neighbor shard's edge buffer over ICI."""
+        rolled = jnp.roll(slab, shift, axis=axis)
+        ax_name = "x" if axis == 2 else "y"
+        idx = [slice(None)] * slab.ndim
+        if shift == -1:      # arrivals from +1 side; wrapped entry is last
+            idx[axis] = slice(0, 1)
+            perm = minus_x if ax_name == "x" else minus_y
+            edge = lax.ppermute(slab[tuple(idx)], ax_name, perm)
+            idx[axis] = slice(-1, None)
+            rolled = rolled.at[tuple(idx)].set(edge)
+        else:                # arrivals from -1 side; wrapped entry is first
+            idx[axis] = slice(-1, None)
+            perm = plus_x if ax_name == "x" else plus_y
+            edge = lax.ppermute(slab[tuple(idx)], ax_name, perm)
+            idx[axis] = slice(0, 1)
+            rolled = rolled.at[tuple(idx)].set(edge)
+        return rolled
+
     def local(aero_l: AeroState, ph_l, R_l, acc_l, k):
         iy = lax.axis_index("y")
         ix = lax.axis_index("x")
@@ -421,109 +525,11 @@ def transport_step_sharded(aero: AeroState, probs: OutflowProbs, xkhh, exch_h,
         k_mv, k_thin = jax.random.split(k)
         dj, di, dest_k, horizontal = sample_moves(aero_l, ph_l, R_l,
                                                   cfg.n_class, k_mv)
-        shp = aero_l.num.shape
-        kk = lax.broadcasted_iota(jnp.int32, shp, 0)
-        jj = lax.broadcasted_iota(jnp.int32, shp, 1)
-        ii = lax.broadcasted_iota(jnp.int32, shp, 2)
-        new_k = jnp.where(horizontal, kk, dest_k)
-        new_j = jj + dj
-        new_i = ii + di
-
-        alive = aero_l.alive
-        # open lateral boundaries: drop particles leaving the *global* domain
-        out = jnp.zeros(shp, bool)
-        if not cfg.boundary.periodic_x:
-            gi = ix * nx_l + new_i
-            out = out | (gi < 0) | (gi >= nx)
-        if not cfg.boundary.periodic_y:
-            gj = iy * ny_l + new_j
-            out = out | (gj < 0) | (gj >= ny)
-        alive = alive & ~out
-
-        # one-cell halo of the acceptance field over ICI, then preweight-thin
-        # BEFORE shipping (movers never carry unthinned populations).  No
-        # diagonal moves, so zero-filled corners are never addressed.
-        halo_w = lax.ppermute(acc_l[:, :, -1:], "x", plus_x)
-        halo_e = lax.ppermute(acc_l[:, :, :1], "x", minus_x)
-        mid = jnp.concatenate([halo_w, acc_l, halo_e], axis=2)
-        halo_s = lax.ppermute(acc_l[:, -1:, :], "y", plus_y)
-        halo_n = lax.ppermute(acc_l[:, :1, :], "y", minus_y)
-        zpad = jnp.zeros((nz, 1, 1), acc_l.dtype)
-        row_s = jnp.concatenate([zpad, halo_s, zpad], axis=2)
-        row_n = jnp.concatenate([zpad, halo_n, zpad], axis=2)
-        acc_ext = jnp.concatenate([row_s, mid, row_n], axis=1)
-        moved = (new_k != kk) | (new_j != jj) | (new_i != ii)
-        acc_p = jnp.where(moved, acc_ext[new_k, new_j + 1, new_i + 1], 1.0)
-        num_thin = _apply_preweight_thin(aero_l.num, alive, acc_p, k_thin)
-        alive = num_thin > 0.0
-
-        dep_w = alive & (new_i < 0)
-        dep_e = alive & (new_i >= nx_l)
-        dep_s = alive & (new_j < 0)
-        dep_n = alive & (new_j >= ny_l)
-        staying = alive & ~(dep_w | dep_e | dep_s | dep_n)
-
-        payload = _pack_rows(aero_l)                       # [N_l, CH]
-        payload = payload.at[:, 0].set(num_thin.reshape(N_l))
-        nj = jnp.clip(new_j, 0, ny_l - 1)
-        ni = jnp.clip(new_i, 0, nx_l - 1)
-        dest_local = (new_k * ny_l + nj) * nx_l + ni
-        dest_stay = jnp.where(staying.reshape(N_l),
-                              dest_local.reshape(N_l), C_l)
-
-        def face_buffer(dep, coord):
-            """Fixed-capacity departure buffer; overflow beyond F rows is
-            conserved by rescaling the shipped rows' multiplicities to carry
-            the full departing number."""
-            depf = dep.reshape(N_l)
-            flag = (~depf).astype(jnp.int32)               # departing first
-            order = jnp.argsort(flag, stable=True)
-            take = order[:F]
-            rows = payload[take]
-            ok = depf[take]
-            tot_dep = jnp.sum(jnp.where(depf, payload[:, 0], 0.0))
-            shipped = jnp.sum(jnp.where(ok, rows[:, 0], 0.0))
-            scale = jnp.where(shipped > 0,
-                              tot_dep / jnp.maximum(shipped, 1e-300), 1.0)
-            rows = rows.at[:, 0].multiply(scale)
-            meta = jnp.stack([new_k.reshape(N_l)[take].astype(jnp.float32),
-                              coord.reshape(N_l)[take].astype(jnp.float32)],
-                             axis=-1)
-            return jnp.concatenate([jnp.where(ok[:, None], rows, 0.0),
-                                    jnp.where(ok[:, None], meta, -1.0)],
-                                   axis=-1)                # [F, CH+2]
-
-        buf_w = face_buffer(dep_w, jj)
-        buf_e = face_buffer(dep_e, jj)
-        buf_s = face_buffer(dep_s, ii)
-        buf_n = face_buffer(dep_n, ii)
-
-        arr_from_e = lax.ppermute(buf_w, "x", minus_x)     # their west = our east edge
-        arr_from_w = lax.ppermute(buf_e, "x", plus_x)
-        arr_from_n = lax.ppermute(buf_s, "y", minus_y)
-        arr_from_s = lax.ppermute(buf_n, "y", plus_y)
-
-        def arrival(buf, edge_j, edge_i, coord_is_j):
-            rows, meta = buf[:, :CH], buf[:, CH:]
-            ak = meta[:, 0].astype(jnp.int32)
-            ac = meta[:, 1].astype(jnp.int32)
-            ok = meta[:, 0] >= 0.0
-            aj = ac if coord_is_j else jnp.full_like(ac, edge_j)
-            ai = jnp.full_like(ac, edge_i) if coord_is_j else ac
-            dest = (jnp.clip(ak, 0, nz - 1) * ny_l
-                    + jnp.clip(aj, 0, ny_l - 1)) * nx_l \
-                + jnp.clip(ai, 0, nx_l - 1)
-            return rows, jnp.where(ok, dest, C_l)
-
-        r1, d1 = arrival(arr_from_e, 0, nx_l - 1, True)
-        r2, d2 = arrival(arr_from_w, 0, 0, True)
-        r3, d3 = arrival(arr_from_n, ny_l - 1, 0, False)
-        r4, d4 = arrival(arr_from_s, 0, 0, False)
-
-        pool = jnp.concatenate([payload, r1, r2, r3, r4], axis=0)
-        dest_pool = jnp.concatenate([dest_stay, d1, d2, d3, d4], axis=0)
-        rows = _bucket_rows(pool, dest_pool, C_l, P)
-        return _rows_to_state(aero_l, rows, (nz, ny_l, nx_l))
+        drop = open_boundary_drop(dj, di, horizontal, grid, cfg,
+                                  ix0=ix * nx_l, iy0=iy * ny_l)
+        new, _diag = rebucket(aero_l, dest_k, dj, di, horizontal, drop,
+                              acc_l, grid, cfg, k_thin, roll_fn=roll_fn)
+        return new
 
     fn = shard_map(local, mesh=mesh,
                    in_specs=(aero_specs, ph_specs,
@@ -535,13 +541,14 @@ def transport_step_sharded(aero: AeroState, probs: OutflowProbs, xkhh, exch_h,
 
 def transport_step(aero: AeroState, probs: OutflowProbs, xkhh, exch_h,
                    grid: Grid, cfg: Config, dt, key,
-                   mesh=None) -> AeroState:
+                   mesh=None, return_diag: bool = False):
     """Full stochastic transport step (wrf_pmc_trans_driver equivalent):
-    preweight -> thin -> sample -> rebucket.  With ``mesh`` given, runs the
-    sharded ICI face-buffer path (the production multi-chip design); the
-    single-device path is its degenerate case with a global sort.  Particles
-    sampled across an open lateral boundary are removed (the outflow-discard
-    of ``wrf_pmc_trans_aero.F90:811-955``)."""
+    probability build -> move sampling -> MXU rebucket with destination-side
+    preweight thinning.  With ``mesh`` given, runs the sharded ICI
+    edge-buffer path (the production multi-chip design); the single-device
+    path is its degenerate case with plain rolls.  Particles sampled across
+    an open lateral boundary are removed (the outflow-discard of
+    ``wrf_pmc_trans_aero.F90:811-955``)."""
     if mesh is not None:
         return transport_step_sharded(aero, probs, xkhh, exch_h, grid, cfg,
                                       dt, key, mesh)
@@ -550,16 +557,10 @@ def transport_step(aero: AeroState, probs: OutflowProbs, xkhh, exch_h,
     ph = normalized_face_probs(probs, p_hdiff)
     R = vertical_operator(probs, xkhh, exch_h, grid, cfg, dt)
     acc = preweight_acceptance(aero, ph, R, grid, cfg)
-    new_k, new_j, new_i, out = sample_destinations(aero, ph, R, grid, cfg,
-                                                   k_mv)
-    alive = aero.alive & ~out
-    shp = aero.num.shape
-    kk = lax.broadcasted_iota(jnp.int32, shp, 0)
-    jj = lax.broadcasted_iota(jnp.int32, shp, 1)
-    ii = lax.broadcasted_iota(jnp.int32, shp, 2)
-    moved = (new_k != kk) | (new_j != jj) | (new_i != ii)
-    acc_p = jnp.where(moved, acc[new_k, new_j, new_i], 1.0)
-    num = _apply_preweight_thin(aero.num, alive, acc_p, k_thin)
-    aero = dataclasses.replace(
-        aero, num=num, vol=jnp.where((num > 0)[..., None, :], aero.vol, 0.0))
-    return rebucket(aero, new_k, new_j, new_i, grid)
+    dj, di, dest_k, horizontal = sample_moves(aero, ph, R, cfg.n_class, k_mv)
+    drop = open_boundary_drop(dj, di, horizontal, grid, cfg)
+    new, diag = rebucket(aero, dest_k, dj, di, horizontal, drop, acc,
+                         grid, cfg, k_thin)
+    if return_diag:
+        return new, diag
+    return new

@@ -122,73 +122,84 @@ def zero_state(aero_data: AeroData, capacity: int, cell_shape=(),
 
 
 def payload_channels(state: AeroState) -> int:
-    """Row width of the packed per-particle payload."""
-    return 5 + state.vol.shape[-2] + 2 * state.n_src_comp
+    """Channel count of the packed per-particle payload."""
+    return 6 + state.vol.shape[-2] + 2 * state.n_src_comp
 
 
-def _pack_payload(state: AeroState):
-    """All per-particle fields as one [N, CH] f32 row matrix (ints bitcast).
-
-    TPU performance note: per-cell ``take_along_axis`` along the particle
-    (lane) axis lowers to slow element gathers; packing fields into rows and
-    gathering whole rows from the flattened pool is ~100x faster (measured),
-    so every slot-permutation in this module goes through this payload.
-
-    Layout: [num, t_create, pid, source, w_class, vol(S), src_vol(K),
-    src_id(K)]."""
-    bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
-    payload = jnp.concatenate(
-        [state.num[..., None], state.t_create[..., None],
-         bc(state.pid)[..., None], bc(state.source)[..., None],
-         bc(state.w_class)[..., None],
-         jnp.moveaxis(state.vol, -2, -1),
-         jnp.moveaxis(state.src_vol, -2, -1),
-         jnp.moveaxis(bc(state.src_id), -2, -1)], axis=-1)
-    return payload.reshape(-1, payload_channels(state))
+# Particle ids are split into two f32-value channels so they survive the
+# bf16x3 MXU payload path exactly (|v| < 2**24; see ops/place.py).
+_PID_SPLIT = 4096
 
 
-def _unpack_payload(state: AeroState, rows) -> AeroState:
-    """Inverse of _pack_payload; rows: [*cell_shape, P, CH]."""
-    ic = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+def pack_payload(state: AeroState):
+    """All per-particle fields as one channel-first [C, CH, P] f32 tensor.
+
+    TPU performance note: XLA row gathers and lane-axis ``take_along_axis``
+    run at ~2-6 GB/s; every slot rearrangement instead flows through the
+    MXU one-hot engine in ``ops/place.py``, which wants [batch, CH, slots]
+    with integer fields stored as *values* (exact under bf16x3), never
+    bitcasts.
+
+    Channel layout: [num, t_create, pid_lo, pid_hi, source, w_class,
+    vol(S), src_vol(K), src_id(K)]."""
+    f = lambda a: a.astype(jnp.float32)
+    parts = [state.num, state.t_create,
+             f(state.pid % _PID_SPLIT), f(state.pid // _PID_SPLIT),
+             f(state.source), f(state.w_class)]
+    parts += [state.vol[..., s, :] for s in range(state.vol.shape[-2])]
+    parts += [state.src_vol[..., k, :] for k in range(state.n_src_comp)]
+    parts += [f(state.src_id[..., k, :]) for k in range(state.n_src_comp)]
+    payload = jnp.stack(parts, axis=-2)            # [*cell, CH, P]
+    return payload.reshape(-1, payload_channels(state), state.capacity)
+
+
+def unpack_payload(state: AeroState, payload) -> AeroState:
+    """Inverse of pack_payload; payload: [C, CH, P] with C = prod(cells).
+    Integer channels are rounded (the MXU path is ~1-ulp on floats, exact
+    on int values after rounding); rows with num <= 0 are fully zeroed."""
     S = state.vol.shape[-2]
     K = state.n_src_comp
+    cs = state.cell_shape
+    P = state.capacity
+    p = payload.reshape(*cs, payload.shape[-2], P)
+    ii = lambda a: jnp.round(a).astype(jnp.int32)
+    num = p[..., 0, :]
+    dead = num <= 0.0
+    pid = ii(p[..., 2, :]) + _PID_SPLIT * ii(p[..., 3, :])
     return dataclasses.replace(
         state,
-        num=rows[..., 0], t_create=rows[..., 1],
-        pid=ic(rows[..., 2]), source=ic(rows[..., 3]),
-        w_class=ic(rows[..., 4]),
-        vol=jnp.moveaxis(rows[..., 5:5 + S], -1, -2),
-        src_vol=jnp.moveaxis(rows[..., 5 + S:5 + S + K], -1, -2),
-        src_id=ic(jnp.moveaxis(rows[..., 5 + S + K:], -1, -2)))
+        num=jnp.where(dead, 0.0, num),
+        t_create=p[..., 1, :],
+        pid=jnp.where(dead, 0, pid),
+        source=jnp.where(dead, 0, ii(p[..., 4, :])),
+        w_class=jnp.where(dead, 0, ii(p[..., 5, :])),
+        vol=jnp.where(dead[..., None, :], 0.0, p[..., 6:6 + S, :]),
+        src_vol=jnp.where(dead[..., None, :], 0.0,
+                          p[..., 6 + S:6 + S + K, :]),
+        src_id=jnp.where(dead[..., None, :], -1,
+                         ii(p[..., 6 + S + K:6 + S + 2 * K, :])))
 
 
-def _flat_base(state: AeroState):
-    """[*cell_shape, 1] flat row offset of each cell's slot 0."""
+def permute_slots(state: AeroState, dst) -> AeroState:
+    """Move each particle to slot dst[..., p] of its own cell (-1 drops);
+    one batched one-hot matmul over cells."""
+    from ...ops.place import scatter_rows
+
     P = state.capacity
-    cells = 1
-    for s in state.cell_shape:
-        cells *= s
-    base = jnp.arange(cells, dtype=jnp.int32) * P
-    return base.reshape(state.cell_shape + (1,))
-
-
-def _gather_p(state: AeroState, idx, valid) -> AeroState:
-    """Reorder/select particle slots: new slot p <- old slot idx[..., p],
-    masked dead where ~valid.  One packed flat row gather."""
-    payload = _pack_payload(state)
-    gidx = _flat_base(state) + idx                 # [*cell, P] flat rows
-    rows = payload[gidx]                            # [*cell, P, 5+S]
-    rows = jnp.where(valid[..., None], rows, 0.0)
-    return _unpack_payload(state, rows)
+    payload = pack_payload(state)
+    rows = scatter_rows(payload, dst.reshape(-1, P), P)
+    return unpack_payload(state, rows)
 
 
 def compact(state: AeroState) -> AeroState:
     """Stable-move alive particles to the front of the P axis
-    (replaces the reference's ``aero_sorted`` re-sort, trans_aero step 6)."""
-    dead = (~state.alive).astype(jnp.int32)
-    idx = jnp.argsort(dead, axis=-1, stable=True)
-    valid = jnp.take_along_axis(state.alive, idx, axis=-1)
-    return _gather_p(state, idx, valid)
+    (replaces the reference's ``aero_sorted`` re-sort, trans_aero step 6).
+    Off the hot path by design: transport/emission/rebalance all work on
+    fragmented populations via rank computations."""
+    alive = state.alive
+    rank = jnp.cumsum(alive.astype(jnp.int32), axis=-1) - 1
+    dst = jnp.where(alive, rank, -1)
+    return permute_slots(state, dst)
 
 
 def add_particles(state: AeroState, new_vol, new_num, new_source, new_w_class,
@@ -196,23 +207,22 @@ def add_particles(state: AeroState, new_vol, new_num, new_source, new_w_class,
     """Append up to E new particles per cell into free slots.
 
     new_vol: [..., S, E]; new_num/[...]: [..., E].
-    Entries with new_num == 0 become dead slots (cleaned by the trailing
-    compact).  Overflow beyond capacity is dropped with its number conserved
-    by rescaling the surviving new particles (the static-shape analogue of
-    weight rescaling under convergent flow,
-    ``wrf_pmc_trans_aero.F90:1374-1402``).
+    Entries with new_num == 0 become dead slots.  Works on fragmented
+    populations (no compaction): incoming entry e lands in the cell's e-th
+    *free* slot, found by a rank cumsum.  Overflow beyond capacity is
+    dropped with its number conserved by rescaling the surviving new
+    particles (the static-shape analogue of weight rescaling under
+    convergent flow, ``wrf_pmc_trans_aero.F90:1374-1402``).
     """
-    state = compact(state)
     P = state.capacity
     E = new_num.shape[-1]
-    n0 = state.n_alive()[..., None]                        # [..., 1]
-    slot = jnp.arange(P, dtype=jnp.int32)                  # [P]
-    e_idx = slot - n0                                      # broadcast [..., P]
-    incoming = (e_idx >= 0) & (e_idx < E)
+    free = ~state.alive                                    # [..., P]
+    e_idx = jnp.cumsum(free.astype(jnp.int32), axis=-1) - 1
+    incoming = free & (e_idx < E)
     e_safe = jnp.clip(e_idx, 0, E - 1)
 
     # number lost to overflow -> rescale surviving incoming multiplicities
-    n_free = P - n0[..., 0]
+    n_free = jnp.sum(free, axis=-1)
     e_rank = jnp.arange(E, dtype=jnp.int32)
     placed_mask = e_rank < n_free[..., None]               # [..., E]
     tot = jnp.sum(new_num, axis=-1)
@@ -269,38 +279,74 @@ def thin(state: AeroState, keep_prob, key) -> AeroState:
     kp = jnp.broadcast_to(jnp.asarray(keep_prob)[..., None], state.num.shape)
     keep = (u < kp) & state.alive
     num = jnp.where(keep, state.num / jnp.maximum(kp, 1e-12), 0.0)
-    st = dataclasses.replace(
+    return dataclasses.replace(
         state, num=num,
         vol=jnp.where(keep[..., None, :], state.vol, 0.0))
-    return compact(st)
 
 
 def split_largest(state: AeroState) -> AeroState:
-    """Double the particle count of under-populated cells by splitting each
-    alive particle into two halves of equal composition and half multiplicity
-    (conserves number and mass exactly) — the static-shape analogue of
-    ``aero_state_double``. Requires compacted state; no-ops on cells where
-    2 * n_alive > capacity."""
+    """Double the particle count by splitting each alive particle into two
+    halves of equal composition and half multiplicity (conserves number and
+    mass exactly) — the static-shape analogue of ``aero_state_double``.
+    Works on fragmented populations: the r-th free slot receives a copy of
+    the r-th alive particle (one duplicating one-hot gather).  Cells with
+    2 * n_alive > capacity are left untouched."""
+    from ...ops.place import gather_rows
+
     P = state.capacity
-    n0 = state.n_alive()[..., None]
-    can = (2 * n0[..., 0] <= P)[..., None]
-    slot = jnp.arange(P, dtype=jnp.int32)
-    is_copy = (slot >= n0) & (slot < 2 * n0) & can
-    src_idx = jnp.where(is_copy, slot - n0, slot)
-    valid = jnp.take_along_axis(state.alive, src_idx, axis=-1) & (is_copy | (slot < n0))
-    st = _gather_p(state, src_idx, valid)
-    halve = (is_copy | ((slot < n0) & can)) & valid
-    num = jnp.where(halve, st.num * 0.5, st.num)
-    pid = jnp.where(is_copy, state.next_id[..., None] + (slot - n0), st.pid)
-    return dataclasses.replace(st, num=num, pid=pid,
-                               next_id=state.next_id + jnp.where(can[..., 0], n0[..., 0], 0))
+    alive = state.alive
+    n0 = state.n_alive()
+    can = (2 * n0 <= P)
+
+    a_rank = jnp.cumsum(alive.astype(jnp.int32), axis=-1) - 1
+    f_rank = jnp.cumsum((~alive).astype(jnp.int32), axis=-1) - 1
+    # slot index of the r-th alive particle, via a tiny iota scatter
+    from ...ops.place import scatter_rows
+
+    C = 1
+    for s in state.cell_shape:
+        C *= s
+    slot1 = (jax.lax.broadcasted_iota(jnp.int32, (C, 1, P), 2) + 1
+             ).astype(jnp.float32)
+    dst = jnp.where(alive, a_rank, -1).reshape(C, P)
+    slot_of_rank = scatter_rows(slot1, dst, P)             # [C, 1, P]
+    # src: free slot with rank r copies from slot_of_rank[r]
+    is_copy = (~alive) & (f_rank < n0[..., None]) & can[..., None]
+    src = jnp.where(is_copy, f_rank, -1).reshape(C, P)
+    src_slot = jnp.round(gather_rows(slot_of_rank, src)[:, 0, :]
+                         ).astype(jnp.int32) - 1           # [C, P]; -1 none
+    copies_pl = gather_rows(pack_payload(state), src_slot)
+    copied = unpack_payload(state, copies_pl)
+
+    is_copy = is_copy & (copied.num > 0.0)
+    halve = (alive & can[..., None]) | is_copy
+
+    def merge(orig, cp):
+        if orig.ndim == is_copy.ndim + 1:                  # [..., S/K, P]
+            return jnp.where(is_copy[..., None, :], cp, orig)
+        return jnp.where(is_copy, cp, orig)
+
+    num = jnp.where(halve, merge(state.num, copied.num) * 0.5,
+                    state.num)
+    pid = jnp.where(is_copy, state.next_id[..., None] + f_rank, state.pid)
+    return dataclasses.replace(
+        state, num=num, pid=pid,
+        t_create=merge(state.t_create, copied.t_create),
+        source=merge(state.source, copied.source),
+        w_class=merge(state.w_class, copied.w_class),
+        vol=merge(state.vol, copied.vol),
+        src_vol=merge(state.src_vol, copied.src_vol),
+        src_id=merge(state.src_id, copied.src_id),
+        next_id=state.next_id + jnp.where(can, n0, 0))
 
 
 def rebalance(state: AeroState, key, n_ideal: int, allow_halving=True,
               allow_doubling=True) -> AeroState:
     """Keep per-cell computational-particle counts near ``n_ideal``
     (``aero_state_rebalance``, called at ``wrf_pmc_driver.F90:248-251`` and
-    after transport ``wrf_pmc_trans_aero.F90:777-804``)."""
+    after transport ``wrf_pmc_trans_aero.F90:777-804``).  Halving is a pure
+    elementwise thin; doubling (the expensive duplicating pass) runs under a
+    global ``lax.cond`` so steady-state steps skip it entirely."""
     st = state
     if allow_halving:
         n = st.n_alive()
@@ -310,9 +356,12 @@ def rebalance(state: AeroState, key, n_ideal: int, allow_halving=True,
     if allow_doubling:
         n = st.n_alive()
         need = (n > 0) & (n < n_ideal // 2)
-        # split only in cells that need it: mask by leaving others untouched
-        doubled = split_largest(st)
-        pick = lambda a, b: jnp.where(
-            need.reshape(need.shape + (1,) * (a.ndim - need.ndim)), a, b)
-        st = jax.tree.map(pick, doubled, st)
+
+        def dbl(s):
+            doubled = split_largest(s)
+            pick = lambda a, b: jnp.where(
+                need.reshape(need.shape + (1,) * (a.ndim - need.ndim)), a, b)
+            return jax.tree.map(pick, doubled, s)
+
+        st = jax.lax.cond(jnp.any(need), dbl, lambda s: s, st)
     return st

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .aero_data import AeroData
-from .aero_state import AeroState, add_particles, compact
+from .aero_state import AeroState, add_particles
 from .dist import AeroDist, dist_number_conc, sample_particles
 
 
@@ -110,7 +110,6 @@ def update_aero_state(scn: Scenario, state: AeroState, aero_data: AeroData,
     state = dataclasses.replace(
         state, num=jnp.where(keep, state.num, 0.0),
         vol=jnp.where(keep[..., None, :], state.vol, 0.0))
-    state = compact(state)
 
     def inject(state, dist, added_number, key):
         """Add a fixed-slot sample representing ``added_number`` physical
@@ -129,5 +128,4 @@ def update_aero_state(scn: Scenario, state: AeroState, aero_data: AeroData,
     # (3) emissions: added number = rate * dt * V
     edist = dist_at_time(scn, t)
     e_add = dist_number_conc(edist) * dt * cell_volume
-    state = inject(state, edist, e_add, k_emit)
-    return compact(state)
+    return inject(state, edist, e_add, k_emit)
