@@ -147,6 +147,11 @@ class PartmcConfig:
                                    # overflow is counted and conserved by
                                    # shipped-survivor rescale
     trans_cap_h: int = 0           # per-(cell, face) horizontal mover cap
+    seasalt_source: int = 0        # source id / weight classes discovered by
+    seasalt_class_film: int = 1    # sources.build_universe (reference
+    seasalt_class_spume: int = -1  # hardcodes 2 dedicated classes,
+                                   # wrf_pmc_init.F90:1291-1431); spume < 0
+                                   # -> single-class fallback
     w_prob_cap: float = 0.95       # vertical-face move-probability cap
                                    # (wrf_pmc_trans.F90:236-284)
     num_bins: int = 100            # diagnostic bin grid (registry.partmc_process:1)

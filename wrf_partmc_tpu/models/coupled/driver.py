@@ -130,26 +130,22 @@ def partmc_from_wrf(dyn: DycoreState) -> jax.Array:
     return jnp.moveaxis(dyn.chem, 0, -1) * 1000.0
 
 
-def microphysics_step(aero: AeroState, gas, env: EnvState, aero_data: AeroData,
-                      gas_data: GasData, scn: Scenario, cfg: Config,
-                      grid: Grid, dyn: DycoreState, t,
-                      key) -> tuple[AeroState, jax.Array]:
-    """partmc_timestep inner work over one chem macro-step
-    (``wrf_pmc_driver.F90:169-254``): nucleation (optional), coagulation,
-    gas+aero emissions/dilution, sea-salt surface source, equilibrium water."""
+def emission_step(aero: AeroState, gas, env: EnvState, aero_data: AeroData,
+                  scn: Scenario, cfg: Config, grid: Grid, dyn: DycoreState,
+                  t, key) -> tuple[AeroState, jax.Array]:
+    """Per-WRF-dt scenario forcing: gas emissions/dilution, aerosol
+    emissions/dilution, sea-salt surface source.  The reference applies
+    these every WRF dt with ``grid%dt`` (``scenario_update_gas_state`` /
+    ``scenario_update_aero_state`` / ``seasalt_emissions``,
+    ``wrf_pmc_driver.F90:202-223``) while coagulation/MOSAIC run on
+    ``partmc_chem_dt`` — emitting in chem-dt bursts would distort plume
+    structure at dt << chem_dt."""
     pc = cfg.partmc
-    dt_chem = pc.partmc_chem_dt
-    k_coag, k_scn, k_ss = jax.random.split(key, 3)
-    if pc.do_nucleation:
-        from ..partmc.nucleate import nucleate_step
-
-        aero, gas = nucleate_step(aero, gas, gas_data, aero_data, env.temp,
-                                  env.pressure, env.cell_volume, dt_chem)
-    if pc.do_coagulation:
-        aero = coag_step(aero, aero_data, env, dt_chem, k_coag, kernel=KERNEL_BROWN)
-    gas = update_gas_state(scn, gas, t, dt_chem)
+    dt = cfg.dynamics.dt
+    k_scn, k_ss = jax.random.split(key)
+    gas = update_gas_state(scn, gas, t, dt)
     if pc.do_emission:
-        aero = update_aero_state(scn, aero, aero_data, t, dt_chem, k_scn,
+        aero = update_aero_state(scn, aero, aero_data, t, dt, k_scn,
                                  pc.n_emit_slots, env.cell_volume)
     if pc.seasalt_param > 0:
         from ...ops.stencil import AXIS_X, AXIS_Y, shift
@@ -161,13 +157,37 @@ def microphysics_step(aero: AeroState, gas, env: EnvState, aero_data: AeroData,
         u10 = jnp.sqrt(u_c ** 2 + v_c ** 2)                     # [ny, nx]
         cell_shape = aero.cell_shape
         u10_3d = jnp.broadcast_to(u10, cell_shape)
+        spume = (cfg.partmc.seasalt_class_spume
+                 if cfg.partmc.seasalt_class_spume >= 0 else None)
         vol, num, src, wcl = sample_seasalt(
-            k_ss, aero_data, u10_3d, grid.dx * grid.dy, dt_chem,
+            k_ss, aero_data, u10_3d, grid.dx * grid.dy, dt,
             pc.n_emit_slots, cell_shape, param=pc.seasalt_param,
-            source=0, w_class=min(cfg.n_class - 1, 1))
+            source=pc.seasalt_source,
+            w_class=min(cfg.n_class - 1, pc.seasalt_class_film),
+            w_class_spume=spume)
         k0 = jax.lax.broadcasted_iota(jnp.int32, num.shape, 0) == 0
         aero = add_particles(aero, vol, jnp.where(k0, num, 0.0), src, wcl,
                              time=t)
+    return aero, gas
+
+
+def microphysics_step(aero: AeroState, gas, env: EnvState, aero_data: AeroData,
+                      gas_data: GasData, scn: Scenario, cfg: Config,
+                      grid: Grid, dyn: DycoreState, t,
+                      key) -> tuple[AeroState, jax.Array]:
+    """partmc_timestep chem-macro-step work (``wrf_pmc_driver.F90:169-254``):
+    nucleation (optional), coagulation, gas/aerosol chemistry, water uptake.
+    Scenario emissions run per-dt in :func:`emission_step`, not here."""
+    pc = cfg.partmc
+    dt_chem = pc.partmc_chem_dt
+    k_coag, k_scn, k_ss = jax.random.split(key, 3)
+    if pc.do_nucleation:
+        from ..partmc.nucleate import nucleate_step
+
+        aero, gas = nucleate_step(aero, gas, gas_data, aero_data, env.temp,
+                                  env.pressure, env.cell_volume, dt_chem)
+    if pc.do_coagulation:
+        aero = coag_step(aero, aero_data, env, dt_chem, k_coag, kernel=KERNEL_BROWN)
     if pc.do_mosaic:
         if pc.chem_mech == "simple" or gas_data.n_spec < 77:
             from ..partmc.simple_chem import chem_step
@@ -232,8 +252,9 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
     dt = cfg.dynamics.dt
     m_chem = max(1, int(round(pc.partmc_chem_dt / dt)))
     keys = {s: rng.step_key(base_seed_key, cs.step, s)
-            for s in (rng.STREAM_COAG, rng.STREAM_TRANSPORT,
-                      rng.STREAM_DEPOSITION, rng.STREAM_REBALANCE)}
+            for s in (rng.STREAM_COAG, rng.STREAM_EMISSION,
+                      rng.STREAM_TRANSPORT, rng.STREAM_DEPOSITION,
+                      rng.STREAM_REBALANCE)}
 
     # partmc_to_wrf + dynamics/advection
     dyn = partmc_to_wrf(cs, grid, cfg)
@@ -292,9 +313,15 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
         env = dataclasses.replace(
             env, ustar=jnp.broadcast_to(sfc_ustar, env.temp.shape))
 
-    # microphysics on the chem_dt cadence
-    if (pc.do_coagulation or pc.do_emission or pc.do_condensation
-            or pc.do_nucleation or pc.do_mosaic or pc.seasalt_param > 0):
+    # scenario forcing every dt (reference cadence: emissions with grid%dt,
+    # wrf_pmc_driver.F90:202-223), chemistry/coagulation on chem_dt
+    if pc.do_emission or pc.seasalt_param > 0:
+        aero, gas = emission_step(aero, gas, env, aero_data, scn, cfg, grid,
+                                  dyn2, t, keys[rng.STREAM_EMISSION])
+    else:
+        gas = update_gas_state(scn, gas, t, dt)
+    if (pc.do_coagulation or pc.do_condensation
+            or pc.do_nucleation or pc.do_mosaic):
         do_chem = (cs.step % m_chem) == 0
 
         def micro(args):
@@ -348,10 +375,16 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
     else:
         land2 = cs.land
 
-    # stochastic transport (+ deposition at the surface layer)
+    # stochastic transport (+ deposition at the surface layer); the vertical
+    # operator consumes the actual geopotential-derived layer depths and
+    # densities, not base-state flat-terrain values
     if pc.do_transport:
+        vol3 = cell_volume_3d(dyn2, grid).astype(jnp.float32)
+        rho3 = (cell_air_mass(dyn2, grid) / vol3).astype(jnp.float32)
+        dz3 = vol3 / (grid.dx * grid.dy)
         aero = transport_step(aero, diag.probs, diag.xkhh, exch_h, grid, cfg,
-                              dt, keys[rng.STREAM_TRANSPORT], mesh=mesh)
+                              dt, keys[rng.STREAM_TRANSPORT], mesh=mesh,
+                              rho3=rho3, dz3=dz3)
 
     # open lateral boundaries: inflow background resampling + gas BCs
     if not (cfg.boundary.periodic_x and cfg.boundary.periodic_y):

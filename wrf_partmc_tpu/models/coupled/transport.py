@@ -52,44 +52,72 @@ from ...models.partmc.aero_state import AeroState
 from ...models.dycore.state import base_profiles
 
 
-def horizontal_diffusion_probs(xkhh, grid: Grid, dt):
-    """One-step horizontal eddy-diffusion move probability per lateral face:
-    P = K dt / dx^2 (compute_diffusion_probs, density-uniform flat-terrain
-    form).  Returns scalar field [nz, ny, nx] applied to all four faces."""
-    return jnp.clip(xkhh * dt * grid.rdx * grid.rdx, 0.0, 0.2)
+def horizontal_diffusion_probs(xkhh, grid: Grid, dt, rho3=None):
+    """Per-face horizontal eddy-diffusion move probabilities
+    (``compute_diffusion_probs``, ``wrf_pmc_trans.F90:358-407``):
+    P_face = K_face dt rho_face / (dx^2 rho_cell), density-weighted and with
+    dy honored for the y faces.  Returns (pxm, pxp, pym, pyp) each
+    [nz, ny, nx]."""
+    if rho3 is None:
+        rho_b, _, _ = base_profiles(grid)
+        rho3 = jnp.broadcast_to(rho_b.reshape(-1, 1, 1), xkhh.shape)
+
+    def face(shift, axis, rdx2):
+        k_f = 0.5 * (xkhh + jnp.roll(xkhh, shift, axis))
+        r_f = 0.5 * (rho3 + jnp.roll(rho3, shift, axis))
+        return jnp.clip(k_f * dt * rdx2 * r_f / jnp.maximum(rho3, 1e-10),
+                        0.0, 0.2)
+
+    rdx2 = grid.rdx * grid.rdx
+    rdy2 = grid.rdy * grid.rdy
+    return (face(1, 2, rdx2), face(-1, 2, rdx2),
+            face(1, 1, rdy2), face(-1, 1, rdy2))
 
 
 def vertical_operator(probs: OutflowProbs, xkhh_unused, exch_h, grid: Grid,
-                      cfg: Config, dt, n_sub_max: int = 16):
+                      cfg: Config, dt, n_sub_max: int = 1024,
+                      rho3=None, dz3=None):
     """Per-column, per-class full-level transition matrix R = B^N A.
 
     exch_h: [nz+1, ny, nx] vertical eddy diffusivity at w levels (the PBL
     ``exch_h`` the reference consumes, ``wrf_pmc_trans.F90:472``).
     probs.zm/zp: [n_class, nz, ny, nx] captured vertical advection
-    probabilities.  Returns R: [n_class, ny, nx, nz, nz] row-stochastic.
+    probabilities.  rho3/dz3: actual per-cell dry density and layer depth
+    (terrain/geopotential-aware under the ARW core); base-state fallback.
+    Returns R: [n_class, ny, nx, nz, nz] row-stochastic.
+
+    The substep count honors the reference's stability rule
+    ``dt_small = 0.1 dz_min^2 / K_max`` (``stable_timestep``,
+    ``wrf_pmc_trans.F90:626-652``) up to ``n_sub_max`` via matrix repeated
+    squaring — N = 512 costs ~10 squarings, so strong-mixing PBL columns
+    (K ~ 500 m2/s, dz ~ 50 m, dt = 60 s -> N ~ 480) are not biased by the
+    old 16-substep cap.
     """
     nz = grid.nz
-    rho_b, _, _ = base_profiles(grid)
-    dz = grid.dz                                   # [nz]
-    dzf = grid.z_half[1:] - grid.z_half[:-1]       # [nz-1] between levels
+    if rho3 is None or dz3 is None:
+        rho_b, _, _ = base_profiles(grid)
+        shape3 = exch_h.shape[0] - 1, *exch_h.shape[1:]
+        rho3 = jnp.broadcast_to(rho_b.reshape(-1, 1, 1), shape3)
+        dz3 = jnp.broadcast_to(grid.dz.reshape(-1, 1, 1), shape3)
 
-    # stability substep count (stable_timestep :626-652):
-    # dt_small = 0.1 dz_min^2 / K_max  per column
+    # stability substep count per column (stable_timestep :626-652)
     k_int = exch_h[1:-1]                           # [nz-1, ny, nx] interior faces
     k_max = jnp.max(k_int, axis=0)                 # [ny, nx]
-    dz_min2 = jnp.min(dz) ** 2
+    dz_min2 = jnp.min(dz3, axis=0) ** 2            # [ny, nx]
     n_need = jnp.ceil(dt * 10.0 * k_max / jnp.maximum(dz_min2, 1e-10))
     n_sub = jnp.clip(n_need, 1, n_sub_max).astype(jnp.int32)      # [ny, nx]
     tau = dt / n_sub.astype(jnp.float32)                          # [ny, nx]
 
-    # one-substep explicit diffusion matrix B [ny, nx, nz, nz]
-    rho_f = 0.5 * (rho_b[1:] + rho_b[:-1])                        # [nz-1]
-    coef = (rho_f / dzf)[:, None, None] * k_int                   # [nz-1, ny, nx]
-    p_up = coef / (rho_b[:-1] * dz[:-1])[:, None, None]           # from k -> k+1
-    p_dn = coef / (rho_b[1:] * dz[1:])[:, None, None]             # from k+1 -> k
+    # one-substep explicit diffusion matrix B [ny, nx, nz, nz] built from
+    # actual layer depths and densities
+    dzf = 0.5 * (dz3[1:] + dz3[:-1])                              # [nz-1, ny, nx]
+    rho_f = 0.5 * (rho3[1:] + rho3[:-1])
+    coef = (rho_f / dzf) * k_int                                  # [nz-1, ny, nx]
+    p_up = coef / (rho3[:-1] * dz3[:-1])                          # from k -> k+1
+    p_dn = coef / (rho3[1:] * dz3[1:])                            # from k+1 -> k
     p_up = jnp.moveaxis(p_up, 0, -1) * tau[..., None]             # [ny, nx, nz-1]
     p_dn = jnp.moveaxis(p_dn, 0, -1) * tau[..., None]
-    # clip for stability regardless of n_sub cap
+    # safety clip (the stability substepping keeps these ~0.1 by design)
     p_up = jnp.clip(p_up, 0.0, 0.45)
     p_dn = jnp.clip(p_dn, 0.0, 0.45)
 
@@ -102,14 +130,23 @@ def vertical_operator(probs: OutflowProbs, xkhh_unused, exch_h, grid: Grid,
     B = (stay[..., None] * eye + up_row[..., None] * e_up
          + dn_row[..., None] * e_dn)
 
-    # B^N with data-dependent N via masked repeated multiplication
-    def body(i, M):
-        M2 = jnp.einsum("yxab,yxbc->yxac", M, B)
-        take = (i < n_sub)[..., None, None]
-        return jnp.where(take, M2, M)
+    # B^N with data-dependent N via repeated squaring over the bits of N
+    # (log2(n_sub_max) squarings instead of N multiplies); rows renormalized
+    # per squaring as the reference renormalizes per power step
+    nbits = max(1, int(n_sub_max).bit_length())
+    M = jnp.broadcast_to(eye, B.shape)
+    Bp = B
 
-    BN = lax.fori_loop(1, n_sub_max, body, B)
-    # row renormalization (reference renormalizes per power step)
+    def bit_body(i, carry):
+        M, Bp = carry
+        bit = ((n_sub >> i) & 1).astype(bool)[..., None, None]
+        M2 = jnp.einsum("yxab,yxbc->yxac", M, Bp)
+        M = jnp.where(bit, M2, M)
+        Bp2 = jnp.einsum("yxab,yxbc->yxac", Bp, Bp)
+        Bp2 = Bp2 / jnp.maximum(jnp.sum(Bp2, axis=-1, keepdims=True), 1e-12)
+        return M, Bp2
+
+    BN, _ = lax.fori_loop(0, nbits, bit_body, (M, Bp))
     BN = BN / jnp.maximum(jnp.sum(BN, axis=-1, keepdims=True), 1e-12)
 
     # vertical advection matrix A per class [n_class, ny, nx, nz, nz]
@@ -130,10 +167,11 @@ def normalized_face_probs(probs: OutflowProbs, p_hdiff):
     class in a cell share these, so normalizing at field level is identical
     to the per-particle form.  Returns (pxm, pxp, pym, pyp) each
     [n_class, nz, ny, nx]."""
-    pxm = probs.xm + p_hdiff[None]
-    pxp = probs.xp + p_hdiff[None]
-    pym = probs.ym + p_hdiff[None]
-    pyp = probs.yp + p_hdiff[None]
+    hxm, hxp, hym, hyp = p_hdiff
+    pxm = probs.xm + hxm[None]
+    pxp = probs.xp + hxp[None]
+    pym = probs.ym + hym[None]
+    pyp = probs.yp + hyp[None]
     total = pxm + pxp + pym + pyp
     scale = jnp.where(total > 1.0, 1.0 / jnp.maximum(total, 1e-12), 1.0)
     return pxm * scale, pxp * scale, pym * scale, pyp * scale
@@ -451,7 +489,8 @@ def rebucket(aero: AeroState, dest_k, dj, di, horizontal, drop, acc,
 
 
 def transport_step_sharded(aero: AeroState, probs: OutflowProbs, xkhh, exch_h,
-                           grid: Grid, cfg: Config, dt, key, mesh) -> AeroState:
+                           grid: Grid, cfg: Config, dt, key, mesh,
+                           rho3=None, dz3=None) -> AeroState:
     """Distributed transport over a 2-D ('y','x') device mesh — the explicit
     TPU equivalent of the reference's neighbor particle exchange
     (``wrf_pmc_trans_aero.F90``: ghost delta_aero_states packed and
@@ -476,9 +515,10 @@ def transport_step_sharded(aero: AeroState, probs: OutflowProbs, xkhh, exch_h,
     ny_l, nx_l = ny // py, nx // px
 
     # Eulerian probability fields: GSPMD inserts the halo collectives
-    p_hdiff = horizontal_diffusion_probs(xkhh, grid, dt)
+    p_hdiff = horizontal_diffusion_probs(xkhh, grid, dt, rho3=rho3)
     ph = normalized_face_probs(probs, p_hdiff)
-    R = vertical_operator(probs, xkhh, exch_h, grid, cfg, dt)
+    R = vertical_operator(probs, xkhh, exch_h, grid, cfg, dt,
+                          rho3=rho3, dz3=dz3)
     acc = preweight_acceptance(aero, ph, R, grid, cfg)
 
     def spec_for_rank(r):
@@ -541,7 +581,8 @@ def transport_step_sharded(aero: AeroState, probs: OutflowProbs, xkhh, exch_h,
 
 def transport_step(aero: AeroState, probs: OutflowProbs, xkhh, exch_h,
                    grid: Grid, cfg: Config, dt, key,
-                   mesh=None, return_diag: bool = False):
+                   mesh=None, return_diag: bool = False,
+                   rho3=None, dz3=None):
     """Full stochastic transport step (wrf_pmc_trans_driver equivalent):
     probability build -> move sampling -> MXU rebucket with destination-side
     preweight thinning.  With ``mesh`` given, runs the sharded ICI
@@ -551,11 +592,12 @@ def transport_step(aero: AeroState, probs: OutflowProbs, xkhh, exch_h,
     ``wrf_pmc_trans_aero.F90:811-955``)."""
     if mesh is not None:
         return transport_step_sharded(aero, probs, xkhh, exch_h, grid, cfg,
-                                      dt, key, mesh)
+                                      dt, key, mesh, rho3=rho3, dz3=dz3)
     k_mv, k_thin = jax.random.split(key)
-    p_hdiff = horizontal_diffusion_probs(xkhh, grid, dt)
+    p_hdiff = horizontal_diffusion_probs(xkhh, grid, dt, rho3=rho3)
     ph = normalized_face_probs(probs, p_hdiff)
-    R = vertical_operator(probs, xkhh, exch_h, grid, cfg, dt)
+    R = vertical_operator(probs, xkhh, exch_h, grid, cfg, dt,
+                          rho3=rho3, dz3=dz3)
     acc = preweight_acceptance(aero, ph, R, grid, cfg)
     dj, di, dest_k, horizontal = sample_moves(aero, ph, R, cfg.n_class, k_mv)
     drop = open_boundary_drop(dj, di, horizontal, grid, cfg)

@@ -107,40 +107,46 @@ def coag_step(state: AeroState, aero_data: AeroData, env: EnvState, dt, key,
     Works on arbitrary cell batch shapes [...]; cost O(P) per cell
     (vs the reference's O(n_samp) accept-reject loop per cell,
     ``wrf_pmc_driver.F90:192-194``).
+
+    TPU path: the per-cell random pairing is realized by ONE batched
+    one-hot MXU permutation (``ops/place.gather_rows``) that puts each
+    pair's partners in adjacent slots; all pair math and the merged
+    write-back are then pure elementwise ops on the even/odd slot halves.
+    Slots are meaningless, so the permuted layout is simply kept.
     """
+    from ..partmc.aero_state import pack_payload, unpack_payload
+    from ...ops.place import gather_rows
+    from .aero_data import vol_to_diam
+
     P = state.capacity
     n_pair = P // 2
     cell_shape = state.cell_shape
+    S = state.vol.shape[-2]
+    K = state.n_src_comp
+    C = 1
+    for s in cell_shape:
+        C *= s
     k_perm, k_evt = jax.random.split(key)
 
     # random permutation with alive slots first: dead slots get +inf keys
     u = jax.random.uniform(k_perm, state.num.shape)
     perm = jnp.argsort(jnp.where(state.alive, u, 2.0), axis=-1)   # [..., P]
-    ia = perm[..., 0:2 * n_pair:2]                                # [..., n_pair]
-    ib = perm[..., 1:2 * n_pair:2]
+    rows = gather_rows(pack_payload(state),
+                       perm.reshape(C, P).astype(jnp.int32))      # [C, CH, P]
+    rows = rows.reshape(*cell_shape, rows.shape[1], P)
+    A = rows[..., 0:2 * n_pair:2]                       # [.., CH, n_pair]
+    B = rows[..., 1:2 * n_pair:2]
 
-    # flat-row packed gather of the pair sides (TPU: row gathers from the
-    # flattened pool beat lane-axis take_along_axis by ~100x)
-    S = state.vol.shape[-2]
-    K = state.n_src_comp
-    bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
-    diam = state.wet_diameter()
-    mass = particle_mass(state.vol, aero_data)
-    payload = jnp.concatenate(
-        [state.num[..., None], diam[..., None], mass[..., None],
-         jnp.moveaxis(state.vol, -2, -1),
-         jnp.moveaxis(state.src_vol, -2, -1),
-         jnp.moveaxis(bc(state.src_id), -2, -1)], axis=-1)    # [.., P, CH]
-    CH = 3 + S + 2 * K
-    flat = payload.reshape(-1, CH)
-    cells = 1
-    for s in cell_shape:
-        cells *= s
-    base = (jnp.arange(cells, dtype=jnp.int32) * P).reshape(cell_shape + (1,))
-    rows_a = flat[base + ia]                                      # [.., n_pair, CH]
-    rows_b = flat[base + ib]
-    num_a, d_a, m_a = rows_a[..., 0], rows_a[..., 1], rows_a[..., 2]
-    num_b, d_b, m_b = rows_b[..., 0], rows_b[..., 1], rows_b[..., 2]
+    def side(r):
+        num = r[..., 0, :]
+        vol = r[..., 6:6 + S, :]
+        pvol = jnp.sum(vol, axis=-2)
+        mass = particle_mass(vol, aero_data)
+        diam = vol_to_diam(jnp.maximum(pvol, 1e-300))
+        return num, vol, diam, mass
+
+    num_a, vol_a, d_a, m_a = side(A)
+    num_b, vol_b, d_b, m_b = side(B)
 
     kk = eval_kernel(kernel, d_a, d_b, m_a, m_b, env)
     n = state.n_alive().astype(jnp.float32)[..., None]
@@ -157,30 +163,32 @@ def coag_step(state: AeroState, aero_data: AeroData, env: EnvState, dt, key,
     both = (num_a > 0) & (num_b > 0)
     # cap so the larger-multiplicity partner cannot go negative
     g = jnp.where(both, jnp.minimum(g, jnp.floor(xi_max / jnp.maximum(xi_min, 1e-30))), 0.0)
+    did = (g > 0)
 
     # merge: small-multiplicity side absorbs mass; big side loses count
     a_is_big = num_a >= num_b
-    big_rows = jnp.where(a_is_big[..., None], rows_a, rows_b)
-    sml_rows = jnp.where(a_is_big[..., None], rows_b, rows_a)
+    mb = a_is_big[..., None, :]
+    big = jnp.where(mb, A, B)
+    sml = jnp.where(mb, B, A)
     dec = g * xi_min
-    new_big_num = jnp.maximum(big_rows[..., 0] - dec, 0.0)
-    alive_fac = jnp.where(new_big_num > 0.0, 1.0, 0.0)[..., None]
-    out_big = jnp.concatenate(
-        [new_big_num[..., None], big_rows[..., 1:3],
-         big_rows[..., 3:] * alive_fac], axis=-1)
-    vol_new = sml_rows[..., 3:3 + S] + g[..., None] * big_rows[..., 3:3 + S]
+    new_big_num = jnp.maximum(big[..., 0, :] - dec, 0.0)
+    big_dead = new_big_num <= 0.0
+    out_big = big.at[..., 0, :].set(new_big_num)
+    out_big = jnp.where(big_dead[..., None, :], 0.0, out_big)
+    vol_new = sml[..., 6:6 + S, :] + g[..., None, :] * big[..., 6:6 + S, :]
 
     # source-component merge (aero_component equivalent): combine the two
     # K-lists, accumulate duplicate sources into their first occurrence,
     # keep the top-K by attributed volume (fixed-width truncation)
-    ic = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
-    sv_s = sml_rows[..., 3 + S:3 + S + K]
-    si_s = ic(sml_rows[..., 3 + S + K:])
-    sv_b = g[..., None] * big_rows[..., 3 + S:3 + S + K]
-    si_b = ic(big_rows[..., 3 + S + K:])
+    sv_s = jnp.moveaxis(sml[..., 6 + S:6 + S + K, :], -2, -1)   # [.., np, K]
+    si_s = jnp.round(jnp.moveaxis(sml[..., 6 + S + K:6 + S + 2 * K, :],
+                                  -2, -1)).astype(jnp.int32)
+    sv_b = g[..., :, None] * jnp.moveaxis(big[..., 6 + S:6 + S + K, :],
+                                          -2, -1)
+    si_b = jnp.round(jnp.moveaxis(big[..., 6 + S + K:6 + S + 2 * K, :],
+                                  -2, -1)).astype(jnp.int32)
     cv = jnp.concatenate([sv_s, sv_b], axis=-1)            # [.., n_pair, 2K]
     ci = jnp.concatenate([si_s, si_b], axis=-1)
-    did_coag = (g > 0)[..., None]
     eq = (ci[..., :, None] == ci[..., None, :])            # [.., 2K, 2K]
     first = jnp.argmax(eq, axis=-1)                        # first occurrence
     oh = jax.nn.one_hot(first, 2 * K, dtype=cv.dtype)
@@ -193,26 +201,30 @@ def coag_step(state: AeroState, aero_data: AeroData, env: EnvState, dt, key,
     si_out = jnp.einsum("...kj,...j->...k", ohk,
                         ci.astype(cv.dtype)).astype(jnp.int32)
     si_out = jnp.where(sv_out > 0.0, si_out, -1)
-    sv_out = jnp.where(did_coag, sv_out, sml_rows[..., 3 + S:3 + S + K])
-    si_out = jnp.where(did_coag, si_out, si_s)
-    out_sml = jnp.concatenate(
-        [sml_rows[..., :3], vol_new, sv_out,
-         jax.lax.bitcast_convert_type(si_out, jnp.float32)], axis=-1)
+    sv_out = jnp.where(did[..., None], sv_out, sv_s)
+    si_out = jnp.where(did[..., None], si_out, si_s)
 
-    i_big = base + jnp.where(a_is_big, ia, ib)
-    i_sml = base + jnp.where(a_is_big, ib, ia)
-    # pair slots are disjoint by construction -> plain row scatters are safe
-    flat = flat.at[i_big.reshape(-1)].set(out_big.reshape(-1, CH))
-    flat = flat.at[i_sml.reshape(-1)].set(out_sml.reshape(-1, CH))
-    rows = flat.reshape(cell_shape + (P, CH))
-    sv_rows = jnp.moveaxis(rows[..., 3 + S:3 + S + K], -1, -2)
-    si_rows = ic(jnp.moveaxis(rows[..., 3 + S + K:], -1, -2))
+    out_sml = sml
+    out_sml = out_sml.at[..., 6:6 + S, :].set(
+        jnp.where(did[..., None, :], vol_new, sml[..., 6:6 + S, :]))
+    out_sml = out_sml.at[..., 6 + S:6 + S + K, :].set(
+        jnp.moveaxis(sv_out, -1, -2))
+    out_sml = out_sml.at[..., 6 + S + K:6 + S + 2 * K, :].set(
+        jnp.moveaxis(si_out.astype(cv.dtype), -1, -2))
+
+    out_A = jnp.where(mb, out_big, out_sml)
+    out_B = jnp.where(mb, out_sml, out_big)
+    out = jnp.stack([out_A, out_B], axis=-1).reshape(
+        *cell_shape, rows.shape[-2], 2 * n_pair)
+    if P > 2 * n_pair:                                  # odd capacity
+        out = jnp.concatenate([out, rows[..., 2 * n_pair:]], axis=-1)
+    out = out.reshape(C, rows.shape[-2], P)
+    st = unpack_payload(state, out)
     # primary source label follows the largest component
-    prim = jnp.take_along_axis(
-        si_rows, jnp.argmax(sv_rows, axis=-2)[..., None, :], axis=-2
-    )[..., 0, :]
+    ohp = jax.nn.one_hot(jnp.argmax(st.src_vol, axis=-2), K,
+                         dtype=jnp.float32)                # [.., P, K]
+    prim = jnp.round(jnp.einsum("...kp,...pk->...p",
+                                st.src_id.astype(jnp.float32), ohp)
+                     ).astype(jnp.int32)
     return dataclasses.replace(
-        state, num=rows[..., 0],
-        vol=jnp.moveaxis(rows[..., 3:3 + S], -1, -2),
-        src_vol=sv_rows, src_id=si_rows,
-        source=jnp.where(prim >= 0, prim, state.source))
+        st, source=jnp.where((prim >= 0) & st.alive, prim, st.source))

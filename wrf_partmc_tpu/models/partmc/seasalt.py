@@ -59,12 +59,18 @@ def seasalt_number_fluxes(u10, n_bins: int = 8, r_min=0.05, r_max=5.0,
 
 def sample_seasalt(key, aero_data: AeroData, u10, area, dt, n_slots: int,
                    cell_shape=(), param: int = 1, source: int = 0,
-                   w_class: int = 0):
+                   w_class: int = 0, w_class_spume: int | None = None,
+                   r80_split_um: float = 10.0):
     """Fixed-slot sea-salt particle sample for the surface-layer cells.
 
     area: surface area per cell [m2]; returns (vol [..., S, E], num [..., E],
     source, w_class) for add_particles.  Composition: pure Na+Cl at sea-salt
     density; dry diameter = 2 * (r80/2).
+
+    The reference dedicates two hardcoded weight classes to sea salt
+    (``wrf_pmc_init.F90:1291-1431``); when ``w_class_spume`` is given,
+    droplets with r80 above ``r80_split_um`` (spume drops, Monahan split)
+    get that class, the rest ``w_class`` (film/jet).
     """
     centers_um, flux = seasalt_number_fluxes(u10, param=param)   # [..., B]
     B = centers_um.shape[0]
@@ -84,5 +90,9 @@ def sample_seasalt(key, aero_data: AeroData, u10, area, dt, n_slots: int,
     vol = jnp.swapaxes(vol, -1, -2)                                # [..., S, E]
     num = jnp.broadcast_to((total / E)[..., None], (*cell_shape, E)).astype(jnp.float32)
     src = jnp.full((*cell_shape, E), source, jnp.int32)
-    wcl = jnp.full((*cell_shape, E), w_class, jnp.int32)
+    if w_class_spume is None:
+        wcl = jnp.full((*cell_shape, E), w_class, jnp.int32)
+    else:
+        wcl = jnp.where(r80_um >= r80_split_um, w_class_spume, w_class
+                        ).astype(jnp.int32)
     return vol, num, src, wcl
