@@ -92,13 +92,29 @@ def cell_volume_3d(dyn: DycoreState, grid: Grid):
 
 
 def make_env(dyn: DycoreState, grid: Grid, cfg: Config, step,
-             ustar=0.3) -> EnvState:
+             ustar=None) -> EnvState:
     """wrf_to_partmc: per-cell environment from the dycore state
-    (``wrf_pmc_driver.F90:576-644``)."""
+    (``wrf_pmc_driver.F90:576-644``).  Without an explicit ``ustar`` (no
+    surface-layer scheme active) the friction velocity is diagnosed from the
+    first-level wind with the neutral log law — the reference always feeds a
+    real u* from its surface layer (``wrf_pmc_dep.F90:31``)."""
     temp = temperature(dyn, grid)
     pres = total_pressure(dyn, grid)
     rh = relative_humidity(dyn.moist[0], temp, pres)
     vol = cell_volume_3d(dyn, grid).astype(jnp.float32)
+    if ustar is None:
+        from ... import constants as c
+        from ...ops.stencil import AXIS_X, AXIS_Y, shift
+
+        u1 = 0.5 * (dyn.u[0] + shift(dyn.u[0], 1, AXIS_X))
+        v1 = 0.5 * (dyn.v[0] + shift(dyn.v[0], 1, AXIS_Y))
+        spd = jnp.sqrt(u1 * u1 + v1 * v1)
+        logz = jnp.log(jnp.maximum(
+            grid.z_half[0] / cfg.dynamics.sfc_z0, 1.1))
+        us2d = c.KARMAN * jnp.maximum(spd, 0.1) / logz
+        ustar = jnp.broadcast_to(us2d, temp.shape).astype(jnp.float32)
+    else:
+        ustar = jnp.broadcast_to(jnp.asarray(ustar, jnp.float32), temp.shape)
     if dyn.ph is not None:
         from ... import constants as c
 
@@ -107,8 +123,7 @@ def make_env(dyn: DycoreState, grid: Grid, cfg: Config, step,
     else:
         z = jnp.broadcast_to(grid.z_half.reshape(-1, 1, 1), temp.shape)
     return EnvState(temp=temp, pressure=pres, rel_humid=rh, height=z,
-                    cell_volume=vol,
-                    ustar=jnp.full(temp.shape, ustar, jnp.float32),
+                    cell_volume=vol, ustar=ustar,
                     elapsed_time=jnp.asarray(step, jnp.float32) * cfg.dynamics.dt)
 
 
@@ -217,9 +232,13 @@ def microphysics_step(aero: AeroState, gas, env: EnvState, aero_data: AeroData,
 
 
 def surface_deposition(aero: AeroState, env: EnvState, aero_data: AeroData,
-                       grid: Grid, cfg: Config, key) -> AeroState:
+                       grid: Grid, cfg: Config, key,
+                       rmol=None) -> AeroState:
     """Dry deposition from the lowest model layer only, stochastic
-    per-particle removal (``wrf_pmc_trans.F90:183-198`` -> wrf_pmc_dep*)."""
+    per-particle removal (``wrf_pmc_trans.F90:183-198`` -> wrf_pmc_dep*).
+    ``rmol`` (1/Monin-Obukhov length, from the surface layer) enables the
+    stability-corrected aerodynamic resistance the reference consumes
+    (``wrf_pmc_dep.F90:31-101``)."""
     from ..partmc.aero_data import particle_mass, particle_volume
 
     diam = jnp.maximum(aero.wet_diameter(), 1e-9)
@@ -227,7 +246,8 @@ def surface_deposition(aero: AeroState, env: EnvState, aero_data: AeroData,
     mass = particle_mass(aero.vol, aero_data)
     rho_p = mass / jnp.maximum(pvol, 1e-300)
     z_ref = grid.z_half[0]
-    r_a = aerodynamic_resistance(env, z_ref)
+    r_a = aerodynamic_resistance(env, z_ref, z0=cfg.dynamics.sfc_z0,
+                                 rmol=rmol)
     v_d = deposition_velocity(diam, rho_p, env, r_a)
     p_rem = jnp.clip(v_d * cfg.dynamics.dt / grid.dz[0], 0.0, 1.0)
     k0 = jax.lax.broadcasted_iota(jnp.int32, aero.num.shape, 0) == 0
@@ -266,6 +286,7 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
     # surface layer + PBL diagnosis (sfclay + bl_ysu equivalents): replaces
     # the prescribed exch_h/ustar with flow-diagnosed fields every step
     sfc_ustar = None
+    sfc_rmol = None
     if cfg.dynamics.bl_physics == 1:
         from ...ops.stencil import AXIS_X, AXIS_Y, shift
         from ..partmc.cbmz import cos_zenith
@@ -292,6 +313,7 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
         h_pbl = pbl_height(theta, grid.z_half)
         exch_h = ysu_exch_h(grid, sfc["ustar"], sfc["rmol"], h_pbl)
         sfc_ustar = sfc["ustar"]
+        sfc_rmol = sfc["rmol"]
 
     # implicit vertical diffusion of all Eulerian fields from the same
     # exch_h the particle vertical operator consumes (module_diffusion_em
@@ -396,7 +418,8 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
         gas = apply_gas_open_bc(gas, dyn2, scn, grid, cfg)
     if pc.do_deposition:
         aero = surface_deposition(aero, env, aero_data, grid, cfg,
-                                  keys[rng.STREAM_DEPOSITION])
+                                  keys[rng.STREAM_DEPOSITION],
+                                  rmol=sfc_rmol)
 
     aero = rebalance(aero, keys[rng.STREAM_REBALANCE], pc.num_particles,
                      pc.allow_halving, pc.allow_doubling)

@@ -54,11 +54,26 @@ def deposition_velocity(diam, rho_p, env: EnvState, r_a):
     return v_s + 1.0 / (r_a + r_s + r_a * r_s * v_s)
 
 
-def aerodynamic_resistance(env: EnvState, z_ref, z0=0.1):
-    """Neutral-stability log-law r_a (the reference gets r_a from the WRF
-    surface layer with stability corrections, ``wrf_pmc_dep.F90:188``;
-    neutral form here, stability functions arrive with the physics suite)."""
-    return jnp.log(jnp.maximum(z_ref / z0, 1.1)) / (c.KARMAN * jnp.maximum(env.ustar, 0.01))
+def _psi_h(zeta):
+    """Businger-Dyer integrated stability function for heat/scalars."""
+    x = (1.0 - 16.0 * jnp.minimum(zeta, 0.0)) ** 0.25
+    unstable = 2.0 * jnp.log(0.5 * (1.0 + x * x))
+    stable = -5.0 * jnp.maximum(zeta, 0.0)
+    return jnp.where(zeta < 0.0, unstable, stable)
+
+
+def aerodynamic_resistance(env: EnvState, z_ref, z0=0.1, rmol=None):
+    """Aerodynamic resistance r_a with Monin-Obukhov stability corrections.
+
+    The reference consumes the WRF surface layer's ``rmol`` (1/L) and ``znt``
+    (``wrf_pmc_dep.F90:31-101,188``):
+    r_a = [ln(z/z0) - psi_h(z/L) + psi_h(z0/L)] / (kappa u*).
+    ``rmol=None`` reduces to the neutral log law."""
+    log_term = jnp.log(jnp.maximum(z_ref / z0, 1.1))
+    if rmol is not None:
+        log_term = (log_term - _psi_h(z_ref * rmol) + _psi_h(z0 * rmol))
+    return jnp.maximum(log_term, 0.1) / (c.KARMAN
+                                         * jnp.maximum(env.ustar, 0.01))
 
 
 def deposit_step(state: AeroState, aero_data: AeroData, env: EnvState, dt, dz,
