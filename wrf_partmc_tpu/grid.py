@@ -84,7 +84,8 @@ class Grid:
         return (jnp.arange(self.ny) + 0.5) * self.dy
 
 
-def make_grid(cfg: Config, hgt=None, f_cor: float = 0.0) -> Grid:
+def make_grid(cfg: Config, hgt=None, f_cor: float = 0.0,
+              msft=None) -> Grid:
     """Build grid + isentropic (constant theta = T0) hydrostatic base state.
 
     The base state satisfies dp/deta = mu, p = p_top + mu*eta, with
@@ -149,7 +150,8 @@ def make_grid(cfg: Config, hgt=None, f_cor: float = 0.0) -> Grid:
         t_base=f32(np.full(nz, c.T0)), z_half=f32(z_half), z_full=f32(z_full),
         dz=f32(dz),
         hgt=f32(h2), mub=f32(mub), phb=f32(phb), pb3=f32(pb3), alb=f32(alb),
-        msft=f32(np.ones((d.ny, d.nx))),
+        msft=f32(np.ones((d.ny, d.nx)) if msft is None
+                 else np.asarray(msft)),
         f_cor=f32(np.full((d.ny, d.nx), f_cor)),
         rdx=1.0 / d.dx, rdy=1.0 / d.dy, dx=d.dx, dy=d.dy,
         nx=d.nx, ny=d.ny, nz=nz,

@@ -61,12 +61,13 @@ def horizontal_diffusion_probs(xkhh, grid: Grid, dt, rho3=None):
     if rho3 is None:
         rho_b, _, _ = base_profiles(grid)
         rho3 = jnp.broadcast_to(rho_b.reshape(-1, 1, 1), xkhh.shape)
+    msq = (grid.msft * grid.msft) if grid.msft is not None else 1.0
 
     def face(shift, axis, rdx2):
         k_f = 0.5 * (xkhh + jnp.roll(xkhh, shift, axis))
         r_f = 0.5 * (rho3 + jnp.roll(rho3, shift, axis))
-        return jnp.clip(k_f * dt * rdx2 * r_f / jnp.maximum(rho3, 1e-10),
-                        0.0, 0.2)
+        return jnp.clip(k_f * dt * msq * rdx2 * r_f
+                        / jnp.maximum(rho3, 1e-10), 0.0, 0.2)
 
     rdx2 = grid.rdx * grid.rdx
     rdy2 = grid.rdy * grid.rdy

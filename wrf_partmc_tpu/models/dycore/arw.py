@@ -27,8 +27,13 @@ Design notes (TPU-first, not a translation):
   diagonally-dominant tridiagonal in W'' per column.
 * Boundary conditions: rigid lid (w=0, phi free at the top face), terrain
   kinematic surface BC w_sfc = u dh/dx + v dh/dy, phi fixed at the surface.
-* Map factors: the Grid carries msft (= 1 for the idealized Cartesian
-  cases); m != 1 wiring lands with the real-data/llxy on-ramp.
+* Map factors: isotropic conformal m (Lambert/Mercator/PS: m_x = m_y),
+  threaded as in the ARW tech note (2.39-2.45): U = mu u/m, V = mu v/m
+  coupled fluxes, m^2 on scalar/continuity horizontal divergence, m on
+  momentum/w/phi horizontal advection, PGF uncoupled (m_x/m_y = 1), no
+  explicit horizontal curvature (absorbed by the flux-form coupling;
+  cf. ``module_big_step_utilities_em.F`` coriolis notes).  m = 1 recovers
+  the Cartesian ideal cases bitwise.
 
 Scalar families (moist/chem/num_conc) are advected in mu-coupled flux form
 with the acoustic-averaged mass fluxes (the ``sumflux`` time averages,
@@ -54,6 +59,14 @@ from ...ops.advection import face_fluxes, flux_divergence
 from ...ops.stencil import AXIS_X, AXIS_Y, shift
 from ...ops.tridiag import solve as tridiag_solve
 from .state import DycoreState, replace
+
+
+def _map_factors(grid: Grid, cfg: Config):
+    """(m, m_u, m_v, m^2) [ny, nx] with m = grid.msft (ones when absent)."""
+    bx, by = _bc_pair(cfg)
+    m = grid.msft if grid.msft is not None else jnp.ones(
+        (grid.ny, grid.nx), jnp.float32)
+    return m, _avg_xf(m, bx), _avg_yf(m, by), m * m
 
 
 def _bc_pair(cfg: Config):
@@ -143,13 +156,14 @@ def diagnose(s: DycoreState, grid: Grid):
     return mu_d, phi, alpha_d, p, theta, theta_m, q_tot
 
 
-def _omega_from_fluxes(U, V, grid: Grid, cfg: Config):
+def _omega_from_fluxes(U, V, grid: Grid, cfg: Config, msq=1.0):
     """Diagnostic eta mass flux Omega at w faces [nz+1, ny, nx] and the
     column-mass tendency mu_t [ny, nx], from coupled horizontal fluxes
-    (continuity; ``calc_ww_cp`` in module_big_step_utilities_em)."""
+    (continuity with map factors: mu_t = -m^2 (dx U + dy V) - d_eta omega;
+    ``calc_ww_cp`` in module_big_step_utilities_em)."""
     bx, by = _bc_pair(cfg)
-    D = ((shift(U, 1, AXIS_X, bx) - U) * grid.rdx
-         + (shift(V, 1, AXIS_Y, by) - V) * grid.rdy)          # [nz, ny, nx]
+    D = msq * ((shift(U, 1, AXIS_X, bx) - U) * grid.rdx
+               + (shift(V, 1, AXIS_Y, by) - V) * grid.rdy)    # [nz, ny, nx]
     deta = grid.deta.reshape(-1, 1, 1)
     mu_t = -jnp.sum(D * deta, axis=0)                         # [ny, nx]
     incr = (mu_t[None] + D) * deta
@@ -159,13 +173,14 @@ def _omega_from_fluxes(U, V, grid: Grid, cfg: Config):
 
 
 def _surface_w(u, v, grid: Grid, cfg: Config):
-    """Terrain kinematic BC: w at the surface face = u dh/dx + v dh/dy
-    (evaluated at mass points from the lowest-level winds)."""
+    """Terrain kinematic BC: w at the surface face = u dh/dX + v dh/dY
+    with true horizontal gradients (m x grid gradients)."""
     bx, by = _bc_pair(cfg)
-    hx = (shift(grid.hgt, 1, AXIS_X, bx) - shift(grid.hgt, -1, AXIS_X, bx)) \
-        * 0.5 * grid.rdx
-    hy = (shift(grid.hgt, 1, AXIS_Y, by) - shift(grid.hgt, -1, AXIS_Y, by)) \
-        * 0.5 * grid.rdy
+    m, _, _, _ = _map_factors(grid, cfg)
+    hx = m * (shift(grid.hgt, 1, AXIS_X, bx)
+              - shift(grid.hgt, -1, AXIS_X, bx)) * 0.5 * grid.rdx
+    hy = m * (shift(grid.hgt, 1, AXIS_Y, by)
+              - shift(grid.hgt, -1, AXIS_Y, by)) * 0.5 * grid.rdy
     u_c = 0.5 * (u[0] + shift(u[0], 1, AXIS_X, bx))
     v_c = 0.5 * (v[0] + shift(v[0], 1, AXIS_Y, by))
     return u_c * hx + v_c * hy
@@ -194,31 +209,33 @@ def _slow_tendencies(s: DycoreState, grid: Grid, cfg: Config) -> _ArwTend:
     ho, vo = dyn.h_adv_order, dyn.v_adv_order
 
     mu_d, phi, alpha_d, p, theta, theta_m, q_tot = diagnose(s, grid)
+    m, m_u, m_v, msq = _map_factors(grid, cfg)
     deta3 = grid.deta.reshape(-1, 1, 1)
     ratio = 1.0 / (1.0 + q_tot)                  # alpha / alpha_d
     alpha = alpha_d * ratio
     mu_u = _avg_xf(mu_d, bx)[None]
     mu_v = _avg_yf(mu_d, by)[None]
-    U = mu_u * s.u
-    V = mu_v * s.v
-    omega, mu_t = _omega_from_fluxes(U, V, grid, cfg)
+    U = mu_u * s.u / m_u                          # mu u / m (ARW 2.39)
+    V = mu_v * s.v / m_v
+    omega, mu_t = _omega_from_fluxes(U, V, grid, cfg, msq)
     fzm = -omega                                  # upward eta mass flux
 
-    # --- momentum advection (coupled flux form for U, V) ---
+    # --- momentum advection (coupled flux form for U, V): m on the
+    # horizontal divergence, 1/m on the vertical (Omega = omega/m) ---
     mfx_u = _avg_xf(U, bx)
     mfy_u = _avg_xf(V, bx)
-    mfz_u = _avg_xf(fzm, bx)
+    mfz_u = _avg_xf(fzm, bx) / m_u
     fx, fy, fz = face_fluxes(s.u, mfx_u, mfy_u, mfz_u, ho, vo, bx, by)
-    adv_U = -flux_divergence(fx, fy, fz, rdx, rdy, rdeta)
+    adv_U = -flux_divergence(fx, fy, fz, rdx * m_u, rdy * m_u, rdeta)
     mfx_v = _avg_yf(U, by)
     mfy_v = _avg_yf(V, by)
-    mfz_v = _avg_yf(fzm, by)
+    mfz_v = _avg_yf(fzm, by) / m_v
     fx, fy, fz = face_fluxes(s.v, mfx_v, mfy_v, mfz_v, ho, vo, bx, by)
-    adv_V = -flux_divergence(fx, fy, fz, rdx, rdy, rdeta)
+    adv_V = -flux_divergence(fx, fy, fz, rdx * m_v, rdy * m_v, rdeta)
 
-    # --- theta (coupled flux form) ---
+    # --- theta (coupled flux form, m^2 on horizontal) ---
     fx, fy, fz = face_fluxes(theta, U, V, fzm, ho, vo, bx, by)
-    adv_T = -flux_divergence(fx, fy, fz, rdx, rdy, rdeta)
+    adv_T = -flux_divergence(fx, fy, fz, rdx * msq, rdy * msq, rdeta)
 
     # --- pressure gradients (well-balanced perturbation form) ---
     # PGF = mu alpha dp/dx + (alpha/alpha_d) dp/deta dphi/dx, expanded about
@@ -272,7 +289,7 @@ def _slow_tendencies(s: DycoreState, grid: Grid, cfg: Config) -> _ArwTend:
     dwdeta = jnp.concatenate([jnp.zeros_like(s.w[:1]), dwdeta_int,
                               jnp.zeros_like(s.w[:1])], axis=0)
     om_small = omega / mu_d[None]
-    adv_w = -(u_f * dwdx + v_f * dwdy + om_small * dwdeta)
+    adv_w = -(m * (u_f * dwdx + v_f * dwdy) + om_small * dwdeta)
     def_f = _deta_face(grid).reshape(-1, 1, 1)
     # well-balanced buoyancy: g[ratio dp'/deta + (ratio - 1) mub - mu']
     # (the base part d(pb)/deta == mub substituted analytically, so the
@@ -297,7 +314,8 @@ def _slow_tendencies(s: DycoreState, grid: Grid, cfg: Config) -> _ArwTend:
     U_f = _avg_zf(0.5 * (U + shift(U, 1, AXIS_X, bx)))
     V_f = _avg_zf(0.5 * (V + shift(V, 1, AXIS_Y, by)))
     R_PH = (c.GRAV * s.w
-            - (U_f * phx + V_f * phy + omega * dphideta) / mu_d[None])
+            - (msq * (U_f * phx + V_f * phy) + omega * dphideta)
+            / mu_d[None])
     R_PH = jnp.where(kf == 0, 0.0, R_PH)         # surface phi fixed
 
     # --- horizontal mixing on the slow variables (as the linear core) ---
@@ -310,9 +328,12 @@ def _slow_tendencies(s: DycoreState, grid: Grid, cfg: Config) -> _ArwTend:
             _, kh, _, _ = tke_eddy_coeffs(s, grid, cfg)
         else:
             kh = smagorinsky_khh(s, grid, cfg)
-        adv_U = adv_U + mu_u * kh * _laplacian_h(s.u, rdx, rdy, bx, by)
-        adv_V = adv_V + mu_v * kh * _laplacian_h(s.v, rdx, rdy, bx, by)
-        adv_T = adv_T + mu_d[None] * kh * _laplacian_h(theta, rdx, rdy, bx, by)
+        msq_u = m_u * m_u
+        msq_v = m_v * m_v
+        adv_U = adv_U + mu_u * kh * msq_u * _laplacian_h(s.u, rdx, rdy, bx, by)
+        adv_V = adv_V + mu_v * kh * msq_v * _laplacian_h(s.v, rdx, rdy, bx, by)
+        adv_T = adv_T + mu_d[None] * kh * msq * _laplacian_h(theta, rdx, rdy,
+                                                             bx, by)
 
     return _ArwTend(U=adv_U - pgf_U + cor_U, V=adv_V - pgf_V + cor_V,
                     W=R_W, T=adv_T, PH=R_PH, mu_t=mu_t)
@@ -336,14 +357,15 @@ def _acoustic_arw(state_t: DycoreState, s_arg: DycoreState, tend: _ArwTend,
 
     # --- stage coefficients (time-invariant over the loop) ---
     mu_s, phi_s, alpha_s, p_s, theta_s, theta_m_s, q_tot_s = diagnose(s_arg, grid)
+    m, m_u, m_v, msq = _map_factors(grid, cfg)
     ratio_s = 1.0 / (1.0 + q_tot_s)
     mu_su = _avg_xf(mu_s, bx)[None]
     mu_sv = _avg_yf(mu_s, by)[None]
-    U_s = mu_su * s_arg.u
-    V_s = mu_sv * s_arg.v
+    U_s = mu_su * s_arg.u / m_u
+    V_s = mu_sv * s_arg.v / m_v
     W_s = mu_s[None] * s_arg.w
     T_s = mu_s[None] * theta_s
-    omega_s, _ = _omega_from_fluxes(U_s, V_s, grid, cfg)
+    omega_s, _ = _omega_from_fluxes(U_s, V_s, grid, cfg, msq)
 
     # stage gradients for the perturbation PGF cross terms
     dpdx_s = (p_s - shift(p_s, -1, AXIS_X, bx)) * rdx
@@ -376,8 +398,8 @@ def _acoustic_arw(state_t: DycoreState, s_arg: DycoreState, tend: _ArwTend,
     # --- initial perturbations (coupled) at time t ---
     mu_t0 = grid.mub + state_t.mu
     th_t = c.T0 + state_t.theta_p
-    Upp = _avg_xf(mu_t0, bx)[None] * state_t.u - U_s
-    Vpp = _avg_yf(mu_t0, by)[None] * state_t.v - V_s
+    Upp = _avg_xf(mu_t0, bx)[None] * state_t.u / m_u - U_s
+    Vpp = _avg_yf(mu_t0, by)[None] * state_t.v / m_v - V_s
     Wpp = mu_t0[None] * state_t.w - W_s
     Tpp = mu_t0[None] * th_t - T_s
     PHpp = state_t.ph - s_arg.ph
@@ -417,8 +439,8 @@ def _acoustic_arw(state_t: DycoreState, s_arg: DycoreState, tend: _ArwTend,
         Vpp = Vpp + dtau * (-pgfy + tend.V)
 
         # ---- advance_mu_t: perturbation continuity + acoustic theta flux
-        Dpp = ((shift(Upp, 1, AXIS_X, bx) - Upp) * rdx
-               + (shift(Vpp, 1, AXIS_Y, by) - Vpp) * rdy)
+        Dpp = msq * ((shift(Upp, 1, AXIS_X, bx) - Upp) * rdx
+                     + (shift(Vpp, 1, AXIS_Y, by) - Vpp) * rdy)
         mu_t_pp = -jnp.sum(Dpp * deta, axis=0)
         MUpp_new = MUpp + dtau * (tend.mu_t + mu_t_pp)
         incr = (mu_t_pp[None] + Dpp) * deta
@@ -431,8 +453,8 @@ def _acoustic_arw(state_t: DycoreState, s_arg: DycoreState, tend: _ArwTend,
         fz_t = -OMpp * th_f
         kf = jnp.arange(nz + 1).reshape(-1, 1, 1)
         fz_t = jnp.where((kf == 0) | (kf == nz), 0.0, fz_t)
-        div_t = ((shift(fx_t, 1, AXIS_X, bx) - fx_t) * rdx
-                 + (shift(fy_t, 1, AXIS_Y, by) - fy_t) * rdy
+        div_t = (msq * ((shift(fx_t, 1, AXIS_X, bx) - fx_t) * rdx
+                        + (shift(fy_t, 1, AXIS_Y, by) - fy_t) * rdy)
                  + (fz_t[1:] - fz_t[:-1]) / deta)
         Tpp_new = Tpp + dtau * (tend.T - div_t)
 
@@ -443,8 +465,10 @@ def _acoustic_arw(state_t: DycoreState, s_arg: DycoreState, tend: _ArwTend,
         phat = PHpp + dtau * ((1.0 - beta) * c.GRAV * Wpp / mu_s[None] + S_ph)
         phat = phat.at[0].set(0.0)               # surface phi fixed
         # surface W'' from the terrain kinematic BC at the new winds
-        u_new = (U_s + Upp) / (_avg_xf(grid.mub + s_arg.mu + MUpp_new, bx)[None])
-        v_new = (V_s + Vpp) / (_avg_yf(grid.mub + s_arg.mu + MUpp_new, by)[None])
+        u_new = (U_s + Upp) * m_u \
+            / (_avg_xf(grid.mub + s_arg.mu + MUpp_new, bx)[None])
+        v_new = (V_s + Vpp) * m_v \
+            / (_avg_yf(grid.mub + s_arg.mu + MUpp_new, by)[None])
         w_sfc = _surface_w(u_new, v_new, grid, cfg)
         W_sfc_pp = (grid.mub + s_arg.mu + MUpp_new) * w_sfc - W_s[0]
 
@@ -479,8 +503,8 @@ def _acoustic_arw(state_t: DycoreState, s_arg: DycoreState, tend: _ArwTend,
     # --- decouple to the stage-end full state ---
     mu_new = s_arg.mu + MUpp
     mu_d_new = grid.mub + mu_new
-    u_new = (U_s + Upp) / _avg_xf(mu_d_new, bx)[None]
-    v_new = (V_s + Vpp) / _avg_yf(mu_d_new, by)[None]
+    u_new = (U_s + Upp) * m_u / _avg_xf(mu_d_new, bx)[None]
+    v_new = (V_s + Vpp) * m_v / _avg_yf(mu_d_new, by)[None]
     w_new = (W_s + Wpp) / mu_d_new[None]
     th_new = (T_s + Tpp) / mu_d_new[None]
     out = replace(state_t, u=u_new, v=v_new, w=w_new,
@@ -530,12 +554,13 @@ def solve_step_arw(state: DycoreState, grid: Grid, cfg: Config):
     bx, by = _bc_pair(cfg)
     rdeta = 1.0 / grid.deta
 
+    m, m_u, m_v, msq = _map_factors(grid, cfg)
     mu_old = grid.mub + state.mu
     if dyn.constant_velocity:
         new = state          # PMC_CONSTANT_VEL: dynamics frozen
-        U = _avg_xf(mu_old, bx)[None] * state.u
-        V = _avg_yf(mu_old, by)[None] * state.v
-        omega, _ = _omega_from_fluxes(U, V, grid, cfg)
+        U = _avg_xf(mu_old, bx)[None] * state.u / m_u
+        V = _avg_yf(mu_old, by)[None] * state.v / m_v
+        omega, _ = _omega_from_fluxes(U, V, grid, cfg, msq)
         fluxes = (U, V, -omega)
     else:
         new, fluxes = dyn_step_arw(state, grid, cfg)
@@ -543,10 +568,13 @@ def solve_step_arw(state: DycoreState, grid: Grid, cfg: Config):
     U_avg, V_avg, fzm_avg = fluxes
 
     def adv(q, opt):
+        # m^2 per cell on the horizontal divergence (scalar equation with
+        # map factors); the captured outflow probabilities inherit the same
+        # per-cell geometry so transport stays consistent on projections
         fn = rk3_advect_mono if opt == "mono" else rk3_advect_pd
-        return fn(q, U_avg, V_avg, fzm_avg, mu_old, dyn.dt, grid.rdx,
-                  grid.rdy, rdeta, dyn.h_adv_order, dyn.v_adv_order, bx, by,
-                  w_prob_cap=cfg.partmc.w_prob_cap, rho_new=mu_new)
+        return fn(q, U_avg, V_avg, fzm_avg, mu_old, dyn.dt, grid.rdx * msq,
+                  grid.rdy * msq, rdeta, dyn.h_adv_order, dyn.v_adv_order,
+                  bx, by, w_prob_cap=cfg.partmc.w_prob_cap, rho_new=mu_new)
 
     moist, _ = adv(state.moist, dyn.moist_adv_opt)
     chem, _ = adv(state.chem, dyn.chem_adv_opt)
