@@ -199,3 +199,37 @@ def test_scenario_linear_time_interp():
                                3e9, rtol=1e-6)
     g = update_gas_state(scn, jnp.zeros(4), 50.0, 1.0)
     np.testing.assert_allclose(float(g[0]), 2.0, rtol=1e-6)
+
+
+def test_add_particles_large_path_matches_small():
+    """E > 64 routes through the MXU place engine; totals and per-source
+    masses must match the small-E one-hot path (slot arrangement may
+    differ)."""
+    import jax
+    import jax.numpy as jnp
+    from wrf_partmc_tpu.models.partmc.aero_state import add_particles, zero_state
+
+    S = AD.n_spec
+    cells = (3, 2)
+    key = jax.random.key(11)
+    E_small, E_large = 48, 80            # same entries, large is zero-padded
+    vol = jax.random.uniform(key, (*cells, S, E_small), jnp.float32) * 1e-20
+    num = jnp.where(jax.random.uniform(jax.random.key(1), (*cells, E_small))
+                    < 0.9, 5.0, 0.0)
+    src = jax.random.randint(jax.random.key(2), (*cells, E_small), 0, 4)
+    wcl = jnp.zeros((*cells, E_small), jnp.int32)
+    pad = lambda a, fill=0.0: jnp.pad(
+        a, [(0, 0)] * (a.ndim - 1) + [(0, E_large - E_small)],
+        constant_values=fill)
+
+    st0 = zero_state(AD, 128, cells)
+    a = add_particles(st0, vol, num, src, wcl, time=3.0)
+    b = add_particles(st0, pad(vol), pad(num), pad(src).astype(jnp.int32),
+                      pad(wcl).astype(jnp.int32), time=3.0)
+    np.testing.assert_allclose(np.asarray(a.total_num()),
+                               np.asarray(b.total_num()), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.num_by_source(5)),
+                               np.asarray(b.num_by_source(5)), rtol=1e-6)
+    np.testing.assert_allclose(float(a.vol.sum()), float(b.vol.sum()),
+                               rtol=1e-6)
+    assert int(a.n_alive().sum()) == int(b.n_alive().sum())

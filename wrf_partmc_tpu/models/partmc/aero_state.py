@@ -213,9 +213,16 @@ def add_particles(state: AeroState, new_vol, new_num, new_source, new_w_class,
     dropped with its number conserved by rescaling the surviving new
     particles (the static-shape analogue of weight rescaling under
     convergent flow, ``wrf_pmc_trans_aero.F90:1374-1402``).
+
+    Small E (per-step emissions) uses a fused [P, E] one-hot einsum; large E
+    (initial population sampling) routes through the MXU place engine to
+    avoid the quadratic one-hot.
     """
     P = state.capacity
     E = new_num.shape[-1]
+    if E > 64:
+        return _add_particles_large(state, new_vol, new_num, new_source,
+                                    new_w_class, time)
     free = ~state.alive                                    # [..., P]
     e_idx = jnp.cumsum(free.astype(jnp.int32), axis=-1) - 1
     incoming = free & (e_idx < E)
@@ -267,6 +274,64 @@ def add_particles(state: AeroState, new_vol, new_num, new_source, new_w_class,
         state, vol=vol, num=jnp.where(incoming & ~live_in, 0.0, num),
         pid=pid, source=src, w_class=wcl, t_create=tcr,
         next_id=state.next_id + E, src_vol=src_vol, src_id=src_id)
+
+
+def _add_particles_large(state: AeroState, new_vol, new_num, new_source,
+                         new_w_class, time=0.0) -> AeroState:
+    """add_particles via scatter_rows: entry e -> the cell's e-th free slot
+    (slot index found with a tiny iota scatter + gather, no [P, E] one-hot)."""
+    from ...ops.place import gather_rows, scatter_rows
+
+    P = state.capacity
+    E = new_num.shape[-1]
+    S = state.vol.shape[-2]
+    K = state.n_src_comp
+    cs = state.cell_shape
+    C = 1
+    for s in cs:
+        C *= s
+    free = ~state.alive
+    f_rank = jnp.cumsum(free.astype(jnp.int32), axis=-1) - 1
+    n_free = jnp.sum(free, axis=-1)
+
+    # overflow rescale (conserve represented number)
+    e_rank = jnp.arange(E, dtype=jnp.int32)
+    placed_mask = e_rank < n_free[..., None]
+    tot = jnp.sum(new_num, axis=-1)
+    placed = jnp.sum(new_num * placed_mask, axis=-1)
+    scale = jnp.where(placed > 0, tot / jnp.maximum(placed, 1e-300), 1.0)
+    new_num = jnp.asarray(new_num) * placed_mask * scale[..., None]
+
+    # slot index (+1) of the r-th free slot
+    slot1 = (jax.lax.broadcasted_iota(jnp.int32, (C, 1, P), 2) + 1
+             ).astype(jnp.float32)
+    dstf = jnp.where(free & (f_rank < E), f_rank, -1).reshape(C, P)
+    slot_of_rank = scatter_rows(slot1, dstf, E)            # [C, 1, E]
+    live_e = (new_num > 0) & placed_mask
+    srcr = jnp.where(live_e, e_rank, -1).reshape(C, E)
+    dst_slot = jnp.round(gather_rows(slot_of_rank, srcr)[:, 0, :]
+                         ).astype(jnp.int32) - 1           # [C, E]
+
+    # incoming payload rows (channel layout of pack_payload) + indicator
+    f = lambda a: jnp.broadcast_to(jnp.asarray(a, jnp.float32),
+                                   (*cs, E)).reshape(C, E)
+    pid = state.next_id[..., None] + e_rank
+    tot_v = jnp.sum(new_vol, axis=-2)
+    parts = [f(new_num), f(jnp.asarray(time, jnp.float32)),
+             f(pid % _PID_SPLIT), f(pid // _PID_SPLIT),
+             f(new_source), f(new_w_class)]
+    parts += [jnp.broadcast_to(new_vol[..., s, :], (*cs, E)).reshape(C, E)
+              for s in range(S)]
+    parts += [f(tot_v)] + [jnp.zeros((C, E), jnp.float32)] * (K - 1)
+    parts += [f(new_source)] + [jnp.full((C, E), -1.0)] * (K - 1)
+    parts.append(jnp.ones((C, E), jnp.float32))            # indicator
+    rows = jnp.stack(parts, axis=1)                        # [C, CH+1, E]
+    placed_rows = scatter_rows(rows, dst_slot, P)          # [C, CH+1, P]
+    taken = placed_rows[:, -1, :] > 0.5
+    merged = jnp.where(taken[:, None, :], placed_rows[:, :-1, :],
+                       pack_payload(state))
+    out = unpack_payload(state, merged)
+    return dataclasses.replace(out, next_id=state.next_id + E)
 
 
 def thin(state: AeroState, keep_prob, key) -> AeroState:
