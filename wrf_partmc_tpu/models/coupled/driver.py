@@ -261,7 +261,7 @@ def surface_deposition(aero: AeroState, env: EnvState, aero_data: AeroData,
 
 def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
                  aero_data: AeroData, gas_data: GasData, scn: Scenario,
-                 exch_h, base_seed_key, mesh=None) -> CoupledState:
+                 exch_h, base_seed_key, mesh=None, bdy=None) -> CoupledState:
     """One full coupled timestep (one iteration of integrate's while loop).
 
     ``mesh``: optional 2-D ('y','x') jax.sharding.Mesh.  When given, particle
@@ -279,6 +279,14 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
     # partmc_to_wrf + dynamics/advection
     dyn = partmc_to_wrf(cs, grid, cfg)
     dyn2, diag = solve_step(dyn, grid, cfg)
+
+    # specified + relaxation lateral BCs (wrfbdy contract; module_bc.F
+    # spec/relax zones applied at solve_em.F:2586-2614)
+    if bdy is not None:
+        from .bdy import apply_specified_relax
+
+        dyn2 = apply_specified_relax(dyn2, bdy, t_now := cs.step.astype(
+            jnp.float32) * dt, grid, cfg)
 
     aero = cs.aero
     t = cs.step.astype(jnp.float32) * dt

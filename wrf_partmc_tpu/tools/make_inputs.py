@@ -227,3 +227,44 @@ def write_wrfinput(path: str, cfg, hgt=None, proj_kind="lambert",
     f.P_TOP = p_top
     f.flush()
     f.close()
+
+
+def write_wrfbdy(path: str, bdy) -> None:
+    """Write a BdyData time series as the wrfbdy-equivalent NetCDF contract
+    (``share/wrf_bdyout.F``: per-edge boundary slabs + boundary times)."""
+    import numpy as np
+
+    with _nc(path, "w") as f:
+        f.createDimension("Time", bdy.times.shape[0])
+        f.createVariable("btime", "f4", ("Time",))[:] = np.asarray(bdy.times)
+        for name, edges in bdy.slabs.items():
+            for e, arr in edges.items():
+                a = np.asarray(arr)
+                dims = []
+                for d, n in enumerate(a.shape):
+                    dn = f"{name}_{e}_d{d}"
+                    f.createDimension(dn, n)
+                    dims.append(dn)
+                f.createVariable(f"{name}_{e}", "f4", tuple(dims))[:] = a
+
+
+def read_wrfbdy(path: str):
+    """Read the wrfbdy-equivalent file back into a BdyData."""
+    import jax.numpy as jnp
+
+    from ..models.coupled.bdy import BdyData
+
+    import numpy as np
+
+    with _nc(path, "r") as f:
+        f32 = lambda v: jnp.asarray(np.asarray(v[:], dtype=np.float32))
+        times = f32(f.variables["btime"])
+        slabs = {}
+        for vn in f.variables:
+            if vn == "btime" or "_" not in vn:
+                continue
+            name, e = vn.rsplit("_", 1)
+            if e not in ("xs", "xe", "ys", "ye"):
+                continue
+            slabs.setdefault(name, {})[e] = f32(f.variables[vn])
+    return BdyData(times=times, slabs=slabs)
