@@ -67,7 +67,8 @@ class DynamicsConfig:
     smdiv: float = 0.1            # divergence damping coefficient
     constant_velocity: bool = False  # PMC_CONSTANT_VEL: freeze dynamics
                                      # (solve_em.F:535,1326,1548)
-    mp_physics: int = 0              # 0=off, 1=Kessler warm rain, 2=WSM5-class ice
+    mp_physics: int = 0              # 0=off, 1=Kessler warm rain, 2=WSM5-class
+                                     # ice, 10=Morrison-class two-moment
     ra_physics: int = 0              # 0=off, 1=Dudhia-class SW + gray LW
                                      # (radiation_driver equivalent; aerosol
                                      # direct effect when partmc.do_optical)
@@ -180,6 +181,11 @@ class Config:
     partmc: PartmcConfig = field(default_factory=PartmcConfig)
     time_control: TimeControlConfig = field(default_factory=TimeControlConfig)
     n_moist: int = 3        # qv, qc, qr
+    n_moist_mass: int = 0   # leading moist entries that are MASS mixing
+                            # ratios (enter q_tot buoyancy/EOS); 0 -> all.
+                            # Morrison (mp=10) appends number moments
+                            # nr/ni/ns which advect with the family but
+                            # carry no mass
     n_chem_gas: int = 32    # transported gas species — must match the GasData
                             # table (77 in full CBM-Z/MOSAIC runs)
     n_class: int = 4        # aerosol weight classes (=NUM_CONC_a## tracer count,
@@ -216,6 +222,15 @@ def validate_config(cfg: Config) -> Config:
         errs.append("mp_physics=1 (Kessler) needs n_moist >= 3")
     if dy.mp_physics == 2 and cfg.n_moist < 5:
         errs.append("mp_physics=2 (WSM5-class) needs n_moist >= 5 (qv qc qr qi qs)")
+    if dy.mp_physics == 10 and cfg.n_moist < 8:
+        errs.append("mp_physics=10 (Morrison two-moment) needs n_moist >= 8 "
+                    "(qv qc qr qi qs nr ni ns)")
+    if dy.mp_physics == 10 and cfg.n_moist_mass not in (0, 5):
+        errs.append("mp_physics=10 expects n_moist_mass=5 (number moments "
+                    "nr/ni/ns carry no mass)")
+    if dy.mp_physics == 10 and cfg.n_moist_mass == 0:
+        errs.append("mp_physics=10 requires n_moist_mass=5 — otherwise the "
+                    "nr/ni/ns number moments would enter the moisture mass")
     if (dy.h_adv_order not in (1, 2, 3, 4, 5, 6, "weno5", "weno3")
             or dy.v_adv_order not in (1, 2, 3, "weno3", "weno5")):
         errs.append(f"unsupported advection orders h={dy.h_adv_order} v={dy.v_adv_order}")

@@ -345,8 +345,8 @@ def _caps(cfg: Config, P: int):
     """Per-(source-cell, destination-class) mover caps.  Overflow beyond a
     cap conserves represented number by rescaling the shipped survivors of
     that (cell, class); the hit rate is returned in the transport diag."""
-    av = cfg.partmc.trans_cap_v or max(16, P // 16)
-    ah = cfg.partmc.trans_cap_h or max(16, P // 16)
+    av = cfg.partmc.trans_cap_v or max(16, P // 32)
+    ah = cfg.partmc.trans_cap_h or max(16, P // 32)
     return av, ah
 
 
@@ -411,10 +411,14 @@ def rebucket(aero: AeroState, dest_k, dj, di, horizontal, drop, acc,
     num_mv = jnp.where(shipped, aero.num * jnp.maximum(scale_p, 1.0), 0.0)
     ovf_class = jnp.sum(jnp.maximum(cnt - cap_d.astype(jnp.float32), 0.0))
 
-    # T1: extract shipped movers into per-cell per-class mini-regions
+    # T1: extract shipped movers into per-cell per-class mini-regions.
+    # ONE payload serves both mover extraction and the stayer merge: movers
+    # carry the overflow-rescaled num (only they are selected by dst1),
+    # stayers their unchanged num (only they survive the stay mask below).
+    num_all = jnp.where(shipped, num_mv, aero.num).reshape(C, P)
     payload = pack_payload(aero)                           # [C, CH, P]
     CH = payload.shape[1]
-    payload = payload.at[:, 0, :].set(num_mv.reshape(C, P))
+    payload = payload.at[:, 0, :].set(num_all)
     dst1 = jnp.where(shipped, base_d[jnp.clip(dcode, 0, D - 1)] + rank, -1)
     minis = scatter_rows(payload, dst1.reshape(C, P), F1)  # [C, CH, F1]
 
@@ -469,7 +473,7 @@ def rebucket(aero: AeroState, dest_k, dj, di, horizontal, drop, acc,
     arrived = scatter_rows(arr, dst_slot, P)               # [C, CH, P]
 
     # merge: stayers keep their slots; arrivals land in (disjoint) free slots
-    stay_pl = pack_payload(aero) * stay_keep[:, None, :]
+    stay_pl = payload * stay_keep[:, None, :]
     merged = arrived + stay_pl
     # free-slot overflow conservation: arrival number that could not be
     # placed (cell saturated with stayers) is folded onto the whole cell by

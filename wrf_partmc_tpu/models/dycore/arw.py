@@ -136,7 +136,7 @@ def _eos(s: DycoreState, grid: Grid):
     return p_pert, pb_eff, alb_eff
 
 
-def diagnose(s: DycoreState, grid: Grid):
+def diagnose(s: DycoreState, grid: Grid, n_moist_mass: int = 0):
     """Diagnostic fields of the mass coordinate: mu_d [ny,nx], phi [nz+1,..],
     alpha_d, full p (EOS with theta_m), dry theta, q_tot.
 
@@ -149,7 +149,8 @@ def diagnose(s: DycoreState, grid: Grid):
     deta = grid.deta.reshape(-1, 1, 1)
     alpha_d = (phi[1:] - phi[:-1]) / (mu_d[None] * deta)
     qv = s.moist[0]
-    q_tot = jnp.sum(s.moist, axis=0)
+    nm = n_moist_mass if n_moist_mass > 0 else s.moist.shape[0]
+    q_tot = jnp.sum(s.moist[:nm], axis=0)
     theta_m = theta * (1.0 + (c.R_V / c.R_D) * qv)
     p_pert, pb_eff, _ = _eos(s, grid)
     p = pb_eff + p_pert
@@ -208,7 +209,8 @@ def _slow_tendencies(s: DycoreState, grid: Grid, cfg: Config) -> _ArwTend:
     rdeta = 1.0 / grid.deta
     ho, vo = dyn.h_adv_order, dyn.v_adv_order
 
-    mu_d, phi, alpha_d, p, theta, theta_m, q_tot = diagnose(s, grid)
+    mu_d, phi, alpha_d, p, theta, theta_m, q_tot = diagnose(
+        s, grid, cfg.n_moist_mass)
     m, m_u, m_v, msq = _map_factors(grid, cfg)
     deta3 = grid.deta.reshape(-1, 1, 1)
     ratio = 1.0 / (1.0 + q_tot)                  # alpha / alpha_d
@@ -356,7 +358,8 @@ def _acoustic_arw(state_t: DycoreState, s_arg: DycoreState, tend: _ArwTend,
     beta = 0.5 * (1.0 + dyn.epssm)
 
     # --- stage coefficients (time-invariant over the loop) ---
-    mu_s, phi_s, alpha_s, p_s, theta_s, theta_m_s, q_tot_s = diagnose(s_arg, grid)
+    mu_s, phi_s, alpha_s, p_s, theta_s, theta_m_s, q_tot_s = diagnose(
+        s_arg, grid, cfg.n_moist_mass)
     m, m_u, m_v, msq = _map_factors(grid, cfg)
     ratio_s = 1.0 / (1.0 + q_tot_s)
     mu_su = _avg_xf(mu_s, bx)[None]
@@ -592,7 +595,7 @@ def solve_step_arw(state: DycoreState, grid: Grid, cfg: Config):
 
     # diagnose the EOS pressure perturbation for downstream consumers
     # (temperature/env use p_base + p_p, exact over terrain)
-    _, _, _, p_full, _, _, _ = diagnose(new, grid)
+    _, _, _, p_full, _, _, _ = diagnose(new, grid, cfg.n_moist_mass)
     new = replace(new, p_p=p_full - grid.p_base.reshape(-1, 1, 1))
 
     if dyn.mp_physics == 1:
@@ -603,5 +606,9 @@ def solve_step_arw(state: DycoreState, grid: Grid, cfg: Config):
         from ...models.physics.microphysics import wsm5_step
 
         new = wsm5_step(new, grid, dyn.dt)
+    elif dyn.mp_physics == 10:
+        from ...models.physics.morrison import morrison_step
+
+        new = morrison_step(new, grid, dyn.dt)
     return new, StepDiag(probs=probs, xkhh=xkhh, rho_u=U_avg, rho_v=V_avg,
                          rho_w=fzm_avg)

@@ -384,5 +384,9 @@ def solve_step(state: DycoreState, grid: Grid, cfg: Config):
         from ..physics.microphysics import wsm5_step
 
         new = wsm5_step(new, grid, dyn.dt)
+    elif dyn.mp_physics == 10:
+        from ..physics.morrison import morrison_step
+
+        new = morrison_step(new, grid, dyn.dt)
     return new, StepDiag(probs=probs, xkhh=xkhh, rho_u=rho_u, rho_v=rho_v,
                          rho_w=rho_w)

@@ -102,9 +102,12 @@ def sat_mixing_ratio_ice(temp, pres):
 
 
 def _sediment(q, rho, vt, dz, dt):
-    """Upwind downward sedimentation of rho*q with face speed vt [nz,...]."""
+    """Upwind downward sedimentation of rho*q with face speed vt [nz,...].
+    dz: [nz] column or [nz, ny, nx] field."""
     flux = rho * q * vt
-    rdz = (1.0 / dz).reshape(-1, 1, 1)
+    rdz = 1.0 / dz
+    if rdz.ndim == 1:
+        rdz = rdz.reshape(-1, 1, 1)
     flux_in = jnp.concatenate([flux[1:], jnp.zeros_like(flux[:1])], axis=0)
     return jnp.maximum(q + dt * (flux_in - flux) * rdz / rho, 0.0)
 
