@@ -318,8 +318,11 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
                 cosz, -0.25)
         sfc = surface_layer(u1, v1, theta[0], thsfc, grid.z_half[0],
                             z0=cfg.dynamics.sfc_z0)
-        h_pbl = pbl_height(theta, grid.z_half)
-        exch_h = ysu_exch_h(grid, sfc["ustar"], sfc["rmol"], h_pbl)
+        u3 = 0.5 * (dyn2.u + shift(dyn2.u, 1, AXIS_X))
+        v3 = 0.5 * (dyn2.v + shift(dyn2.v, 1, AXIS_Y))
+        h_pbl = pbl_height(theta, grid.z_half, u=u3, v=v3)
+        exch_h = ysu_exch_h(grid, sfc["ustar"], sfc["rmol"], h_pbl,
+                            hfx_kin=sfc["hfx_kin"], theta=theta, u=u3, v=v3)
         sfc_ustar = sfc["ustar"]
         sfc_rmol = sfc["rmol"]
 
