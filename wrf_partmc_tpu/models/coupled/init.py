@@ -16,7 +16,8 @@ import jax.numpy as jnp
 from ...config import Config
 from ...grid import Grid
 from ..partmc.aero_data import AeroData, diam_to_vol
-from ..partmc.aero_state import AeroState, add_particles, zero_state
+from ..partmc.aero_state import (AeroState, add_particles, fill_fresh,
+                                 zero_state)
 from ..partmc.dist import AeroDist, sample_particles
 
 
@@ -53,11 +54,11 @@ def populate_from_dist(aero_data: AeroData, cfg: Config, grid: Grid,
     if n_per_cell is None:
         n_per_cell = cfg.partmc.num_particles
     cell_shape = (grid.nz, grid.ny, grid.nx)
-    st = zero_state(aero_data, cfg.partmc.max_particles, cell_shape)
     V = jnp.broadcast_to(grid.cell_volume.reshape(-1, 1, 1), cell_shape)
     vol, num, src, wcl = sample_particles(key, dist, aero_data, n_per_cell,
                                           V, cell_shape)
-    return add_particles(st, vol, num, src, wcl)
+    return fill_fresh(aero_data, cfg.partmc.max_particles, vol, num, src,
+                      wcl)
 
 
 def init_from_files(aero_data: AeroData, n_gas: int, cfg: Config, grid: Grid,

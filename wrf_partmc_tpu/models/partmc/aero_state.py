@@ -202,6 +202,46 @@ def compact(state: AeroState) -> AeroState:
     return permute_slots(state, dst)
 
 
+def fill_fresh(aero_data: AeroData, capacity: int, new_vol, new_num,
+               new_source, new_w_class, time=0.0,
+               n_src_comp: int = 3) -> AeroState:
+    """Build a brand-new population directly from E sampled entries per
+    cell (entry e -> slot e; no placement machinery).  The O(1)-memory path
+    for initial sampling at large E (init_read_in_ics scale)."""
+    cs = new_num.shape[:-1]
+    E = new_num.shape[-1]
+    P = capacity
+    if E > P:
+        raise ValueError(f"fill_fresh: E={E} > capacity={P}")
+    pad = lambda a, fill=0.0: jnp.pad(
+        a, [(0, 0)] * (a.ndim - 1) + [(0, P - E)], constant_values=fill)
+    num = pad(jnp.asarray(new_num, jnp.float32))
+    vol = jnp.pad(jnp.asarray(new_vol, jnp.float32),
+                  [(0, 0)] * (new_vol.ndim - 1) + [(0, P - E)])
+    alive = num > 0.0
+    i32 = lambda a: jnp.broadcast_to(jnp.asarray(a, jnp.int32), (*cs, E))
+    src = pad(i32(new_source).astype(jnp.float32)).astype(jnp.int32)
+    wcl = pad(i32(new_w_class).astype(jnp.float32)).astype(jnp.int32)
+    pid = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32), (*cs, P))
+    tot_v = jnp.sum(vol, axis=-2)
+    K = n_src_comp
+    sv = jnp.concatenate([tot_v[..., None, :],
+                          jnp.zeros((*cs, K - 1, P), jnp.float32)], axis=-2)
+    si = jnp.concatenate([src[..., None, :],
+                          jnp.full((*cs, K - 1, P), -1, jnp.int32)], axis=-2)
+    dead = ~alive
+    return AeroState(
+        vol=jnp.where(dead[..., None, :], 0.0, vol),
+        num=jnp.where(dead, 0.0, num),
+        pid=jnp.where(dead, 0, pid),
+        source=jnp.where(dead, 0, src),
+        w_class=jnp.where(dead, 0, wcl),
+        t_create=jnp.full((*cs, P), jnp.float32(time)),
+        next_id=jnp.full(cs, E, jnp.int32),
+        src_id=jnp.where(dead[..., None, :], -1, si),
+        src_vol=jnp.where(dead[..., None, :], 0.0, sv))
+
+
 def add_particles(state: AeroState, new_vol, new_num, new_source, new_w_class,
                   time=0.0) -> AeroState:
     """Append up to E new particles per cell into free slots.

@@ -158,18 +158,121 @@ def longwave(temp, qv, rho, dz, t_sfc, emis_sfc=0.98):
     return heat_rate, lw_sfc_dn, olr
 
 
+# ---------------------------------------------------------------------------
+# RRTMG-class correlated-k multi-band longwave (ra_physics=4)
+#
+# Same architecture as RRTMG-LW (``phys/module_ra_rrtmg_lw.F``): spectral
+# bands, a small k-distribution (g-points) per band with pressure-broadened
+# absorption coefficients, Planck band fractions, diffusivity-factor
+# absorption/emission sweeps per (band, g).  The k-tables here are NOT the
+# AER line-by-line-fit tables (not portable); they are a compact 4-band x
+# 3-g set calibrated so clear-sky OLR / surface downwelling / tropospheric
+# cooling for a midlatitude-summer-like column fall within ~5-10% of the
+# standard published clear-sky values (OLR ~ 280 W m-2, DLR ~ 345 W m-2,
+# cooling ~ 2 K/day; e.g. RRTMG/ICRCCM clear-sky intercomparisons).  The
+# calibration tolerance is asserted in tests/test_radiation_kdist.py.
+# ---------------------------------------------------------------------------
+
+# band edges [cm-1]: H2O rotation | CO2 15um | window | H2O 6.3um
+_LW_BANDS = ((10.0, 560.0), (560.0, 800.0), (800.0, 1250.0), (1250.0, 2600.0))
+# per-band H2O k-values [m2 kg-1] at p0 and g-weights (calibrated)
+_KW = ((2.4, 0.14, 0.005), (0.10, 0.008, 0.0008), (0.02, 0.002, 1e-4),
+       (4.5, 0.30, 0.012))
+_GW = (0.45, 0.35, 0.20)
+# CO2 15um band k-distribution aligned with band-2 g-points: saturated
+# core + unsaturated wings, so the logarithmic doubling forcing survives
+_K_CO2_G = (300.0, 8.0, 0.25)
+_K_CONT = 1.5            # window self-continuum k, scaled by e/p0
+_DIFFUS = 1.66
+_CO2_PPM = 410.0
+
+
+def _planck_band_fracs(temp):
+    """[n_band, ...] fraction of sigma T^4 in each band (8-pt quadrature)."""
+    h_c_k = 1.4388e-2      # hc/kB [m K]
+    out = []
+    tot = jnp.zeros_like(temp)
+    fr = []
+    for lo, hi in _LW_BANDS:
+        x = jnp.linspace(lo * 100.0, hi * 100.0, 9)          # [m-1]
+        xm = 0.5 * (x[1:] + x[:-1])
+        dx = x[1:] - x[:-1]
+        b = jnp.zeros_like(temp)
+        for i in range(8):
+            u = h_c_k * xm[i] / temp
+            b = b + dx[i] * xm[i] ** 3 / jnp.expm1(jnp.clip(u, 1e-3, 80.0))
+        fr.append(b)
+        tot = tot + b
+    return [f / jnp.maximum(tot, 1e-30) for f in fr]
+
+
+def longwave_kdist(temp, qv, rho, dz, t_sfc, emis_sfc=0.98):
+    """Correlated-k multi-band clear-sky LW.  Returns
+    (heat_rate [K/s], lw_sfc_down, olr)."""
+    dzc = dz.reshape(-1, 1, 1) if jnp.ndim(dz) == 1 else dz
+    u_w = qv * rho * dzc                                  # H2O path [kg m-2]
+    u_c = _CO2_PPM * 1e-6 * (44.0 / 28.97) * rho * dzc    # CO2 path
+    # pressure broadening: p/p0 from the hydrostatic column above
+    p_over = jnp.cumsum((rho * dzc)[::-1], axis=0)[::-1] * c.GRAV
+    pfac = jnp.clip((p_over / 1.0e5) ** 0.8, 0.02, 1.0)
+    # window self-continuum scales with vapor pressure ~ qv * rho
+    e_scale = qv * rho * 461.5 * temp / 1.0e5
+
+    fr = _planck_band_fracs(temp)
+    fr_sfc = _planck_band_fracs(jnp.asarray(t_sfc))
+    B = STEFAN * temp ** 4
+    B_sfc = emis_sfc * STEFAN * jnp.asarray(t_sfc) ** 4
+
+    def sweep(Bsrc, eps, start):
+        def body(carry, x):
+            e, b = x
+            f = carry * (1.0 - e) + e * b
+            return f, f
+        _, out = jax.lax.scan(body, start, (eps, Bsrc))
+        return out
+
+    heat = jnp.zeros_like(temp)
+    lw_dn = jnp.zeros_like(B[0])
+    olr = jnp.zeros_like(B[0])
+    for b_i, (kws, (lo, hi)) in enumerate(zip(_KW, _LW_BANDS)):
+        for g_i, gw in enumerate(_GW):
+            tau = _DIFFUS * kws[g_i] * u_w * pfac
+            if b_i == 1:
+                tau = tau + _DIFFUS * _K_CO2_G[g_i] * u_c * pfac
+            if b_i == 2:
+                tau = tau + _DIFFUS * _K_CONT * u_w * e_scale
+            eps = 1.0 - jnp.exp(-jnp.clip(tau, 0.0, 50.0))
+            Bb = fr[b_i] * B
+            Bb_sfc = fr_sfc[b_i] * B_sfc
+            f_dn = sweep(Bb[::-1] * gw, eps[::-1],
+                         jnp.zeros_like(B[0]))[::-1]
+            f_up = sweep(Bb * gw, eps, Bb_sfc * gw)
+            lw_dn = lw_dn + f_dn[0]
+            olr = olr + f_up[-1]
+            f_dn_top = jnp.concatenate([f_dn[1:], jnp.zeros_like(B[:1])],
+                                       axis=0)
+            f_up_bot = jnp.concatenate([(Bb_sfc * gw)[None], f_up[:-1]],
+                                       axis=0)
+            heat = heat + (f_dn_top - f_dn) + (f_up_bot - f_up)
+
+    heat_rate = heat / (rho * c.CP * dzc)
+    return heat_rate, lw_dn, olr
+
+
 def radiation_driver(temp, qv, rho, dz, cosz, albedo=0.2, t_sfc=None,
-                     optics=None):
+                     optics=None, lw_scheme: str = "gray"):
     """Full radiation step (radiation_driver equivalent).
 
     optics: BulkOptics (tauaer/waer/gaer) or None; t_sfc defaults to the
-    lowest-layer temperature.  Returns (theta_heat_rate [K/s], diag dict).
-    """
+    lowest-layer temperature.  lw_scheme: "gray" (Dudhia-class, ra=1) or
+    "kdist" (RRTMG-class correlated-k, ra=4).
+    Returns (theta_heat_rate [K/s], diag dict)."""
     if t_sfc is None:
         t_sfc = temp[0]
     ta = wa = ga = None
     if optics is not None:
         ta, wa, ga = optics.tauaer, optics.waer, optics.gaer
     sw_hr, sw_dn = shortwave(qv, rho, dz, cosz, albedo, ta, wa, ga)
-    lw_hr, lw_dn, olr = longwave(temp, qv, rho, dz, t_sfc)
+    lw = longwave_kdist if lw_scheme == "kdist" else longwave
+    lw_hr, lw_dn, olr = lw(temp, qv, rho, dz, t_sfc)
     return sw_hr + lw_hr, dict(sw_sfc_down=sw_dn, lw_sfc_down=lw_dn, olr=olr)
