@@ -69,7 +69,8 @@ class DynamicsConfig:
                                      # (solve_em.F:535,1326,1548)
     mp_physics: int = 0              # 0=off, 1=Kessler warm rain, 2=WSM5-class
                                      # ice, 10=Morrison-class two-moment
-    ra_physics: int = 0              # 0=off, 1=Dudhia-class SW + gray LW
+    ra_physics: int = 0              # 0=off, 1=Dudhia-class SW + gray LW,
+                                     # 4=RRTMG-class correlated-k LW + SW
                                      # (radiation_driver equivalent; aerosol
                                      # direct effect when partmc.do_optical)
     bl_physics: int = 0              # 0=prescribed exch_h argument,

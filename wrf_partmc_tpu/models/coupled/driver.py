@@ -368,7 +368,7 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
     # radiation (radiation_driver at RK step 1 in the reference; the PartMC
     # aerosol direct effect enters through do_optical's tauaer/waer/gaer,
     # wrf_pmc_driver.F90:2025-2097)
-    if cfg.dynamics.ra_physics == 1:
+    if cfg.dynamics.ra_physics in (1, 4):
         from ..partmc.cbmz import cos_zenith
         from ..physics.radiation import radiation_driver
 
@@ -387,7 +387,8 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
         hr, _rad_diag = radiation_driver(
             temperature(dyn2, grid), dyn2.moist[0], rho3, grid.dz, cosz,
             t_sfc=(cs.land.tsk if cs.land is not None else None),
-            optics=optics)
+            optics=optics,
+            lw_scheme="kdist" if cfg.dynamics.ra_physics == 4 else "gray")
         dyn2 = dataclasses.replace(dyn2, theta_p=dyn2.theta_p + dt * hr)
 
         # slab-LSM energy balance update (module_sf_slab; uses this step's
