@@ -83,3 +83,131 @@ def test_two_process_cpu_mesh(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
         assert f"proc {pid} OK" in out
+
+
+_COUPLED_WORKER = textwrap.dedent("""
+    import os
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 4)
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from wrf_partmc_tpu.parallel import distributed as dist
+    import __graft_entry__ as ge
+
+    started = dist.init_from_env()
+    assert started and jax.process_count() == 2
+    mesh = dist.global_mesh(shape=(2, 4))
+    NY, NX = 8, 16
+
+    step_fn, cs = ge._build(nx=NX, ny=NY, nz=4, n_part=16, cap=48,
+                            chem_on=False, mesh=mesh)
+
+    def spec_for(shape):
+        nd = len(shape)
+        if nd <= 1:
+            return P()
+        if nd == 2:
+            return P("y", "x")
+        if nd == 3:
+            return P(None, "y", "x")
+        if shape[1] == NY and shape[2] == NX:
+            return P(None, "y", "x", *([None] * (nd - 3)))
+        return P(None, None, "y", "x", *([None] * (nd - 4)))
+
+    (y0, y1), (x0, x1) = dist.process_block(mesh)
+    ny_l = NY // 2
+
+    def to_global(a):
+        a = np.asarray(a)
+        spec = spec_for(a.shape)
+        # slice this process's y-rows along the sharded axis
+        local = a
+        for ax, name in enumerate(spec):
+            if name == "y":
+                sl = [slice(None)] * a.ndim
+                sl[ax] = slice(y0 * ny_l, y1 * ny_l)
+                local = a[tuple(sl)]
+        return dist.host_to_global(local, mesh, spec)
+
+    gcs = jax.tree.map(to_global, cs)
+    fn = jax.jit(step_fn)
+    out = gcs
+    for _ in range(3):
+        out = fn(out)
+    tot = float(jnp.sum(out.aero.num))
+    thp = float(jnp.sum(out.dyn.theta_p))
+    gas = float(jnp.sum(out.gas))
+    alive = int(jnp.sum(out.aero.num > 0))
+    print(f"CHECK {jax.process_index()} {tot:.6e} {thp:.6e} {gas:.6e} "
+          f"{alive}", flush=True)
+""")
+
+
+@pytest.mark.slow
+def test_two_process_coupled_step(tmp_path):
+    """The FULL coupled step (sharded MXU transport included) across 2 OS
+    processes x 4 devices each, checked against the single-process run on
+    the same (2, 4) mesh shape: the counter-based decomposition-invariant
+    RNG makes the two runs directly comparable (VERDICT r3 item 4)."""
+    # single-process reference on an 8-virtual-device mesh of the same shape
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+    from wrf_partmc_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(jax.devices()[:8], shape=(2, 4))
+    step_fn, cs = ge._build(nx=16, ny=8, nz=4, n_part=16, cap=48,
+                            chem_on=False, mesh=mesh)
+    out = cs
+    fn = jax.jit(step_fn)
+    for _ in range(3):
+        out = fn(out)
+    ref = (float(jnp.sum(out.aero.num)), float(jnp.sum(out.dyn.theta_p)),
+           float(jnp.sum(out.gas)), int(jnp.sum(out.aero.num > 0)))
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "worker.py"
+    script.write_text(_COUPLED_WORKER)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ,
+                   JAX_PLATFORMS="cpu",
+                   PYTHONPATH=repo,
+                   WPMC_COORDINATOR=f"127.0.0.1:{port}",
+                   WPMC_NUM_PROCS="2", WPMC_PROC_ID=str(pid),
+                   XLA_FLAGS="--xla_force_host_platform_device_count=4")
+        procs.append(subprocess.Popen(
+            [sys.executable, str(script)], env=env, cwd=repo,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for p in procs:
+        try:
+            out_s, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out_s, _ = p.communicate()
+        outs.append(out_s)
+    vals = None
+    for pid, (p, out_s) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out_s[-4000:]}"
+        for line in out_s.splitlines():
+            if line.startswith(f"CHECK {pid} "):
+                vals = line.split()[2:]
+    assert vals is not None, outs
+    tot, thp, gas, alive = float(vals[0]), float(vals[1]), float(vals[2]), int(vals[3])
+    import numpy as np
+    np.testing.assert_allclose(tot, ref[0], rtol=1e-4)
+    np.testing.assert_allclose(thp, ref[1], rtol=1e-3, atol=1e-2)
+    np.testing.assert_allclose(gas, ref[2], rtol=1e-4)
+    assert abs(alive - ref[3]) <= max(10, 0.02 * ref[3])
