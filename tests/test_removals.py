@@ -1,0 +1,74 @@
+"""Removal bookkeeping (record_removals / aero_info_array equivalent,
+``Registry/registry.partmc``, ``wrf_pmc_driver.F90:251``): per-cell
+represented-number removal counters by cause, surfaced in history output."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wrf_partmc_tpu.config import DomainConfig, PartmcConfig, uniform_test_config
+from wrf_partmc_tpu.grid import make_grid
+from wrf_partmc_tpu.models.coupled.driver import coupled_step, init_coupled
+from wrf_partmc_tpu.models.coupled.init import populate_from_number_field
+from wrf_partmc_tpu.models.dycore.ideal import init_uniform
+from wrf_partmc_tpu.models.partmc.aero_data import make_aero_data
+from wrf_partmc_tpu.models.partmc.gas_data import make_gas_data
+from wrf_partmc_tpu.models.partmc.dist import make_mode
+from wrf_partmc_tpu.models.partmc.scenario import constant_scenario
+from wrf_partmc_tpu.utils import rng
+
+AD = make_aero_data()
+GD = make_gas_data()
+
+
+def test_removal_counters_accumulate_and_written(tmp_path):
+    cfg = uniform_test_config().replace(
+        domain=DomainConfig(nx=4, ny=4, nz=3, dx=2000.0, dy=2000.0,
+                            ztop=1500.0),
+        partmc=PartmcConfig(num_particles=32, max_particles=96,
+                            partmc_chem_dt=20.0, do_coagulation=True,
+                            do_emission=False, do_deposition=True,
+                            do_transport=False, allow_doubling=False,
+                            record_removals=True),
+    )
+    grid = make_grid(cfg)
+    dyn = init_uniform(cfg, grid, 5.0, 0.0)
+    cs = init_coupled(cfg, grid, AD, GD, dyn)
+    conc = jnp.full((grid.nz, grid.ny, grid.nx), 5e9)   # dense -> coag active
+    aero = populate_from_number_field(AD, cfg, grid, conc,
+                                      jax.random.key(0), diam=1e-8)
+    cs = dataclasses.replace(cs, aero=aero)
+    assert cs.removals is not None
+
+    vf = np.zeros(AD.n_spec)
+    vf[0] = 1.0
+    scn = constant_scenario(AD, GD.n_spec, make_mode(0.0, 1e-7, 1.6, vf))
+    exch = jnp.zeros((grid.nz + 1, grid.ny, grid.nx), jnp.float32)
+    key = rng.base_key(3)
+    step = jax.jit(lambda c: coupled_step(c, grid, cfg, AD, GD, scn, exch,
+                                          key))
+    n0 = float(cs.aero.total_num().sum())
+    for _ in range(6):
+        cs = step(cs)
+    dep = np.asarray(cs.removals["deposition"])
+    coag = np.asarray(cs.removals["coag"])
+    # deposition removes only from the surface layer, every step
+    assert dep[0].sum() > 0.0
+    assert (dep[1:] == 0.0).all()
+    # coagulation number loss recorded on chem steps
+    assert coag.sum() > 0.0
+    # number balance: removals account for the population decrease
+    n1 = float(cs.aero.total_num().sum())
+    removed = sum(float(np.asarray(v).sum()) for v in cs.removals.values())
+    np.testing.assert_allclose(n0 - n1, removed, rtol=0.2)
+
+    # counters land in the history file
+    from wrf_partmc_tpu.utils.io import write_history
+    p = str(tmp_path / "hist.nc")
+    write_history(p, cs, grid, cfg)
+    from scipy.io import netcdf_file
+    with netcdf_file(p, "r") as f:
+        assert "removed_num_deposition" in f.variables
+        assert float(np.asarray(f.variables["removed_num_coag"][:]).sum()) > 0

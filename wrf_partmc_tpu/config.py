@@ -126,6 +126,10 @@ class PartmcConfig:
     do_deposition: bool = True
     do_transport: bool = True
     do_gridded_output: bool = True
+    record_removals: bool = False  # accumulate per-cell represented-number
+                                   # removal counters by cause (the
+                                   # aero_info/record_removals bookkeeping,
+                                   # registry.partmc, wrf_pmc_driver.F90:251)
     do_advanced_process: bool = True  # optical + internally-mixed
                                       # counterfactual diagnostics
                                       # (registry.partmc:23 equivalent)

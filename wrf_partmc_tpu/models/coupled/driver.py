@@ -61,6 +61,9 @@ class CoupledState:
     step: jax.Array          # scalar int32
     # slab-LSM soil state (sf_surface_physics=1); None otherwise
     land: object | None = None
+    # cumulative per-cell represented-number removal counters by cause
+    # (record_removals / aero_info_array equivalent); None when off
+    removals: dict | None = None
 
 
 def cell_air_mass(dyn: DycoreState, grid: Grid):
@@ -271,6 +274,13 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
     pc = cfg.partmc
     dt = cfg.dynamics.dt
     m_chem = max(1, int(round(pc.partmc_chem_dt / dt)))
+    rem = dict(cs.removals) if cs.removals is not None else None
+
+    def record(cause, before, after):
+        # number-decreasing ops only: per-cell represented number removed
+        if rem is not None:
+            rem[cause] = rem[cause] + jnp.maximum(
+                before.total_num() - after.total_num(), 0.0)
     keys = {s: rng.step_key(base_seed_key, cs.step, s)
             for s in (rng.STREAM_COAG, rng.STREAM_EMISSION,
                       rng.STREAM_TRANSPORT, rng.STREAM_DEPOSITION,
@@ -349,8 +359,10 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
     # scenario forcing every dt (reference cadence: emissions with grid%dt,
     # wrf_pmc_driver.F90:202-223), chemistry/coagulation on chem_dt
     if pc.do_emission or pc.seasalt_param > 0:
+        _a0 = aero
         aero, gas = emission_step(aero, gas, env, aero_data, scn, cfg, grid,
                                   dyn2, t, keys[rng.STREAM_EMISSION])
+        record("dilution", _a0, aero)
     else:
         gas = update_gas_state(scn, gas, t, dt)
     if (pc.do_coagulation or pc.do_condensation
@@ -363,7 +375,9 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
                                      cfg, grid, dyn2, t,
                                      keys[rng.STREAM_COAG])
 
+        _a0 = aero
         aero, gas = lax.cond(do_chem, micro, lambda ag: ag, (aero, gas))
+        record("coag", _a0, aero)
 
     # radiation (radiation_driver at RK step 1 in the reference; the PartMC
     # aerosol direct effect enters through do_optical's tauaer/waer/gaer,
@@ -416,9 +430,12 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
         vol3 = cell_volume_3d(dyn2, grid).astype(jnp.float32)
         rho3 = (cell_air_mass(dyn2, grid) / vol3).astype(jnp.float32)
         dz3 = vol3 / (grid.dx * grid.dy)
+        _a0 = aero
         aero = transport_step(aero, diag.probs, diag.xkhh, exch_h, grid, cfg,
                               dt, keys[rng.STREAM_TRANSPORT], mesh=mesh,
                               rho3=rho3, dz3=dz3)
+        if not (cfg.boundary.periodic_x and cfg.boundary.periodic_y):
+            record("outflow", _a0, aero)
 
     # open lateral boundaries: inflow background resampling + gas BCs
     if not (cfg.boundary.periodic_x and cfg.boundary.periodic_y):
@@ -429,15 +446,19 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
                                          cfg, bc_key)
         gas = apply_gas_open_bc(gas, dyn2, scn, grid, cfg)
     if pc.do_deposition:
+        _a0 = aero
         aero = surface_deposition(aero, env, aero_data, grid, cfg,
                                   keys[rng.STREAM_DEPOSITION],
                                   rmol=sfc_rmol)
+        record("deposition", _a0, aero)
 
+    _a0 = aero
     aero = rebalance(aero, keys[rng.STREAM_REBALANCE], pc.num_particles,
                      pc.allow_halving, pc.allow_doubling)
+    record("halving", _a0, aero)
 
     return CoupledState(dyn=dyn2, aero=aero, gas=gas, step=cs.step + 1,
-                        land=land2)
+                        land=land2, removals=rem)
 
 
 def init_coupled(cfg: Config, grid: Grid, aero_data: AeroData,
@@ -451,8 +472,14 @@ def init_coupled(cfg: Config, grid: Grid, aero_data: AeroData,
 
         t_sfc0 = float(jnp.asarray(grid.t_base)[0])   # theta ~ T at surface
         land = init_land(grid.ny, grid.nx, t_sfc0)
+    removals = None
+    if cfg.partmc.record_removals:
+        z3 = jnp.zeros((grid.nz, grid.ny, grid.nx), jnp.float32)
+        removals = {k: z3 for k in ("dilution", "coag", "outflow",
+                                    "deposition", "halving")}
     return CoupledState(dyn=dyn, aero=aero, gas=gas,
-                        step=jnp.asarray(0, jnp.int32), land=land)
+                        step=jnp.asarray(0, jnp.int32), land=land,
+                        removals=removals)
 
 
 def run_coupled(cs: CoupledState, grid: Grid, cfg: Config,

@@ -81,6 +81,9 @@ def write_history(path: str, cs: CoupledState, grid, cfg, diag=None,
     var("QVAPOR", ("z", "y", "x"), cs.dyn.moist[0])
     var("NUM_CONC", ("class", "z", "y", "x"), cs.dyn.num_conc)
     var("ZH", ("z",), grid.z_half)
+    if cs.removals is not None:
+        for cause, arr in sorted(cs.removals.items()):
+            var(f"removed_num_{cause}", ("z", "y", "x"), arr)
     if diag is not None:
         f.createDimension("bin", diag.num_dist.shape[-1])
         f.createDimension("spec", diag.spec_mass.shape[-1])
