@@ -223,6 +223,11 @@ def validate_config(cfg: Config) -> Config:
                 f"acoustic substep CFL {cfl_s:.2f} >= 1 "
                 f"(dt={dy.dt}, n_sound={dy.n_sound}, dx={d.dx}): "
                 "reduce dt or raise n_sound")
+    if dy.sf_surface_physics == 1 and not (dy.bl_physics == 1
+                                           and dy.ra_physics in (1, 4)):
+        errs.append("sf_surface_physics=1 (slab LSM) requires bl_physics=1 "
+                    "and ra_physics in (1, 4) — otherwise the skin "
+                    "temperature is never integrated (silent no-op)")
     if dy.mp_physics == 1 and cfg.n_moist < 3:
         errs.append("mp_physics=1 (Kessler) needs n_moist >= 3")
     if dy.mp_physics == 2 and cfg.n_moist < 5:

@@ -131,12 +131,16 @@ def _build_table_np():
     import os
     import tempfile
 
-    cache = os.path.join(tempfile.gettempdir(),
-                         f"wpmc_mie_{_NX}x{_NN}x{_NK}.npz")
+    import hashlib
+
+    tag = hashlib.sha1(repr((1, _NX, _NN, _NK, _LX0, _LX1, _N0, _N1,
+                             _LK0, _LK1)).encode()).hexdigest()[:12]
+    cache = os.path.join(tempfile.gettempdir(), f"wpmc_mie_{tag}.npz")
     if os.path.exists(cache):
         try:
             z = np.load(cache)
-            return z["q_ext"], z["q_sca"], z["g"]
+            if z["q_ext"].shape == (_NX, _NN, _NK):
+                return z["q_ext"], z["q_sca"], z["g"]
         except Exception:
             pass
     lx = np.linspace(_LX0, _LX1, _NX)

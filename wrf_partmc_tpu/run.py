@@ -103,7 +103,8 @@ def build_model(cfg: Config, case: str = "uniform", seed: int = 0,
 
 def run(cfg: Config, case: str, outdir: str, seed: int = 0,
         restart_path: str | None = None, verbose: bool = True,
-        input_files: dict | None = None):
+        input_files: dict | None = None,
+        restart_format: str = "npz"):
     os.makedirs(outdir, exist_ok=True)
     grid, ad, gd, scn, cs, exch, scenario_fn = build_model(cfg, case, seed,
                                                            input_files)
@@ -155,8 +156,16 @@ def run(cfg: Config, case: str, outdir: str, seed: int = 0,
                 n_hist += 1
         if clock.step > 0 and clock.ringing("restart"):
             with timers.section("restart_write"):
-                write_restart(os.path.join(outdir, f"restart_{clock.step:06d}.npz"),
-                              cs, writer=quilt)
+                if restart_format == "netcdf":     # portable (capacity- and
+                    from .utils.io import write_restart_netcdf
+
+                    write_restart_netcdf(          # decomposition-agnostic)
+                        os.path.join(outdir, f"restart_{clock.step:06d}.nc"),
+                        cs, ad, grid, writer=quilt)
+                else:                              # bitwise npz
+                    write_restart(
+                        os.path.join(outdir, f"restart_{clock.step:06d}.npz"),
+                        cs, writer=quilt)
         with timers.section("coupled_step"):
             cs = jax.block_until_ready(step1(cs, scn))
         clock.advance()

@@ -80,7 +80,25 @@ def read_global_model(path: str) -> dict:
 
 
 def _bilinear(field, lat_g, lon_g, lat_t, lon_t):
-    """field [..., lat, lon] -> [..., ny, nx] at target lat/lon [ny, nx]."""
+    """field [..., lat, lon] -> [..., ny, nx] at target lat/lon [ny, nx].
+
+    Longitudes are normalized to a common [0, 360) convention with a wrap
+    column appended (the reference's mo_mozart_lib wrap handling), so a
+    0-360 global file serves a [-180, 180] domain correctly."""
+    lon_g = np.mod(np.asarray(lon_g, float), 360.0)
+    lon_t = np.mod(np.asarray(lon_t, float), 360.0)
+    order = np.argsort(lon_g)
+    lon_g = lon_g[order]
+    field = np.asarray(field)[..., order]
+    # wrap column for interpolation across the 0/360 seam
+    lon_g = np.concatenate([lon_g, lon_g[:1] + 360.0])
+    field = np.concatenate([field, field[..., :1]], axis=-1)
+    if (np.asarray(lat_t).min() < np.asarray(lat_g).min() - 2.0
+            or np.asarray(lat_t).max() > np.asarray(lat_g).max() + 2.0):
+        import warnings
+
+        warnings.warn("mozbc: target latitudes extend beyond the global "
+                      "model grid; edge values will be clamped")
     fi = np.interp(lon_t, lon_g, np.arange(len(lon_g)))
     fj = np.interp(lat_t, lat_g, np.arange(len(lat_g)))
     i0 = np.clip(np.floor(fi).astype(int), 0, len(lon_g) - 2)
@@ -169,17 +187,30 @@ def run_mozbc(global_path: str, spc_map, gas_data, aero_data, grid,
                                        "no3": "NO3", "nh4": "NH4",
                                        "na": "Na", "cl": "Cl", "oin": "OIN"}
         B = len(MOSAIC_8BIN_EDGES) - 1
-        binned = np.zeros((T, B))
-        vol_frac = np.zeros((B, aero_data.n_spec))
+        # mass mixing ratio [kg/kg dry air] -> mass concentration
+        # [kg m-3] with the hydrostatic air density of each target level
+        # (reference mozbc converts mixing ratio -> concentration ->
+        # sectional number; ADVICE r2 medium)
+        t_of_p = 288.0 * (p_tgt / 1.0e5) ** 0.19       # standard-atm T(p)
+        rho_air = p_tgt / (287.0 * t_of_p)             # [nz]
+        edges = np.asarray(MOSAIC_8BIN_EDGES)
+        d_center = np.sqrt(edges[:-1] * edges[1:])
+        v_mean = np.pi / 6.0 * d_center ** 3           # [B] mean particle vol
+        # per-(time, bin, species) mean mass concentration over the domain
+        mass_tbs = np.zeros((T, B, aero_data.n_spec))
         for stem, bins in bin_mass.items():
             sp = alias.get(stem.lower())
             if sp is None or sp not in aero_data.names:
                 continue
             si = aero_data.names.index(sp)
             for ibin, vals in bins.items():
-                m = vals.mean(axis=(1, 2, 3))          # [T] column/domain mean
-                binned[:, ibin] += m
-                vol_frac[ibin, si] += m.mean()
+                conc = vals * rho_air.reshape(1, -1, 1, 1)   # [T,nz,ny,nx]
+                mass_tbs[:, ibin, si] += conc.mean(axis=(1, 2, 3))
+        # species volume concentration -> per-bin number & volume fractions
+        dens = np.asarray(aero_data.density)           # [S] kg m-3
+        volc_tbs = mass_tbs / dens.reshape(1, 1, -1)   # [T, B, S] m3/m3
+        binned = volc_tbs.sum(-1) / v_mean.reshape(1, -1)    # [T, B] #/m3
+        vol_frac = volc_tbs.mean(axis=0)               # [B, S]
         from ..models.partmc.dist import from_sampled
 
         vf = np.where(vol_frac.sum(-1, keepdims=True) > 0, vol_frac, 0.0)

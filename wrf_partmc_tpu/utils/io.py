@@ -298,7 +298,7 @@ def write_restart_netcdf(path: str, cs: CoupledState, aero_data, grid,
     capacities (and, being whole-domain, across decompositions), unlike the
     exact-shape npz.  The reference's restart is the same NetCDF-schema
     design (``wrf_pmc_init.F90:1084-1286``)."""
-    write_particle_netcdf(path, cs, aero_data, grid, writer=None)
+    write_particle_netcdf(path, cs, aero_data, grid, writer=writer)
     # append dycore fields to the same file (scipy can't append; re-open and
     # rewrite is costlier than writing a sibling) -> one sibling file
     out = _NcOut(path + ".dyn", writer)
@@ -331,6 +331,9 @@ def write_restart_netcdf(path: str, cs: CoupledState, aero_data, grid,
             var(name, ("y", "x"), val)
         else:
             var(name, dims3["z"], val)
+    if cs.land is not None:                    # slab-LSM state (tsk, t_deep)
+        var("tsk", ("y", "x"), cs.land.tsk)
+        var("t_deep", ("y", "x"), cs.land.t_deep)
     f.step = int(cs.step)
     out.close()
 
@@ -350,7 +353,14 @@ def read_restart_netcdf(path: str, template: CoupledState, aero_data=None):
             kw[name] = jnp.asarray(np.array(f.variables[name][:]),
                                    jnp.float32)
     step = int(getattr(f, "step", 0))
+    land = template.land
+    if land is not None and "tsk" in f.variables:
+        land = dataclasses.replace(
+            land,
+            tsk=jnp.asarray(np.array(f.variables["tsk"][:]), jnp.float32),
+            t_deep=jnp.asarray(np.array(f.variables["t_deep"][:]),
+                               jnp.float32))
     f.close()
     dyn = dataclasses.replace(dyn, **kw)
     return dataclasses.replace(template, dyn=dyn, aero=aero, gas=gas,
-                               step=jnp.asarray(step, jnp.int32))
+                               step=jnp.asarray(step, jnp.int32), land=land)
