@@ -472,15 +472,16 @@ def rebucket(aero: AeroState, dest_k, dj, di, horizontal, drop, acc,
                          ).astype(jnp.int32) - 1           # [C, AB]
     arrived = scatter_rows(arr, dst_slot, P)               # [C, CH, P]
 
-    # merge: stayers keep their slots; arrivals land in (disjoint) free slots
-    stay_pl = payload * stay_keep[:, None, :]
-    merged = arrived + stay_pl
+    # merge: stayers keep their slots; arrivals land in (disjoint) free
+    # slots (mask multiply fuses into the add — no stay_pl buffer)
+    merged = arrived + payload * stay_keep[:, None, :]
     # free-slot overflow conservation: arrival number that could not be
     # placed (cell saturated with stayers) is folded onto the whole cell by
     # a multiplicity rescale — the bucket-level conservation the reference's
     # weight rescale provides under convergent flow
     # (``wrf_pmc_trans_aero.F90:1374-1402``)
-    stay_num = jnp.sum(stay_pl[:, 0, :], axis=-1)
+    stay_num = jnp.sum(jnp.where(stay_keep, payload[:, 0, :], 0.0),
+                       axis=-1)
     actual = jnp.sum(merged[:, 0, :], axis=-1)
     scale_cell = jnp.where(actual > 0,
                            (stay_num + tot_arr) / jnp.maximum(actual, 1e-300),

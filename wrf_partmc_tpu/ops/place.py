@@ -106,27 +106,37 @@ def _split3(x):
 
 def _scatter_kernel(x_ref, dst_ref, o_ref, *, chp, L1p, OB):
     ob = pl.program_id(1)
-    for g in range(GROUP):
-        xs = _split3(x_ref[g])                              # [3chp, L1p]
+
+    def body(g, _):
+        xs = _split3(x_ref[pl.ds(g, 1), :, :][0])           # [3chp, L1p]
         dr = dst_ref[pl.ds(g, 1), :]                        # [1, L1p]
         iota_o = (lax.broadcasted_iota(jnp.int32, (OB, L1p), 0)
                   + ob * OB)
         ohT = (dr == iota_o).astype(jnp.bfloat16)           # [OB, L1p]
         y = lax.dot_general(xs, ohT, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
-        o_ref[g] = y[:chp] + y[chp:2 * chp] + y[2 * chp:]
+        o_ref[pl.ds(g, 1), :, :] = (y[:chp] + y[chp:2 * chp]
+                                    + y[2 * chp:])[None]
+        return 0
+
+    lax.fori_loop(0, GROUP, body, 0)
 
 
 def _gather_kernel(x_ref, src_ref, o_ref, *, chp, L1p, OB):
     ob = pl.program_id(1)
-    for g in range(GROUP):
-        xs = _split3(x_ref[g])                              # [3chp, L1p]
+
+    def body(g, _):
+        xs = _split3(x_ref[pl.ds(g, 1), :, :][0])           # [3chp, L1p]
         sr = src_ref[pl.ds(g, 1), pl.ds(ob * OB, OB)]       # [1, OB]
         iota_i = lax.broadcasted_iota(jnp.int32, (L1p, OB), 0)
         oh = (sr == iota_i).astype(jnp.bfloat16)            # [L1p, OB]
         y = lax.dot_general(xs, oh, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-        o_ref[g] = y[:chp] + y[chp:2 * chp] + y[2 * chp:]
+        o_ref[pl.ds(g, 1), :, :] = (y[:chp] + y[chp:2 * chp]
+                                    + y[2 * chp:])[None]
+        return 0
+
+    lax.fori_loop(0, GROUP, body, 0)
 
 
 _VMEM_BUDGET = 12 * 1024 * 1024
