@@ -70,12 +70,14 @@ def _build_coupled(nx, ny, nz, n_part, cap, chem_on=False):
 def _time_run(run, state, n_steps, n_rep=2):
     import jax
 
-    f = jax.jit(lambda s: run(s, n_steps))
+    # donate the carried state: at 1000 particles/cell the in+out copies
+    # alone are ~6 GB; repetitions feed the evolved state back
+    f = jax.jit(lambda s: run(s, n_steps), donate_argnums=0)
     out = jax.block_until_ready(f(state))      # compile
     best = float("inf")
     for _ in range(n_rep):
         t0 = time.perf_counter()
-        out = jax.block_until_ready(f(state))
+        out = jax.block_until_ready(f(out))
         best = min(best, time.perf_counter() - t0)
     return best, out
 

@@ -189,6 +189,7 @@ def test_uniform_scalar_and_dry_mass_with_map_factors():
     np.testing.assert_allclose(tot1, tot0, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_constant_map_factor_scales_advection_speed():
     """With m = 2 everywhere, grid spacing represents half the true
     distance, so a blob advected by the captured fluxes crosses cells twice

@@ -6,6 +6,8 @@ bursts."""
 
 import dataclasses
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -24,6 +26,7 @@ AD = make_aero_data()
 GD = make_gas_data()
 
 
+@pytest.mark.slow
 def test_emissions_arrive_every_step_not_in_chem_bursts():
     cfg = uniform_test_config().replace(
         domain=DomainConfig(nx=4, ny=4, nz=2, dx=2000.0, dy=2000.0,

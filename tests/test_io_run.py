@@ -110,6 +110,7 @@ def test_restart_roundtrip_bitwise(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_restart_shape_mismatch_raises(tmp_path):
     from wrf_partmc_tpu.run import build_model
     from wrf_partmc_tpu.utils.io import read_restart, write_restart

@@ -37,6 +37,7 @@ def _total_water(s):
     return float(jnp.sum(s.moist[0:5]))
 
 
+@pytest.mark.slow
 def test_warm_rain_forms_and_conserves_water():
     cfg = _cfg()
     grid = make_grid(cfg)
@@ -58,6 +59,7 @@ def test_warm_rain_forms_and_conserves_water():
     assert float(s.theta_p.max()) > 0.05
 
 
+@pytest.mark.slow
 def test_cold_cloud_forms_ice_and_snow():
     cfg = _cfg(ztop=12000.0, nz=24)
     grid = make_grid(cfg)

@@ -93,6 +93,7 @@ def test_urban_ozone_formation_in_published_band():
     assert _get(out, "olet") < 5.0
 
 
+@pytest.mark.slow
 def test_nh4no3_equilibrium_approaches_mozurkewich_kp():
     """ASTEM/MESA-lite partitioning must relax the NH3*HNO3 gas product
     toward the published dissociation constant (Mozurkewich 1993), with its

@@ -45,6 +45,7 @@ def _populate(capacity, n, num_conc, cell_shape=(), gmd=1e-7, seed=0):
 
 # ---------------------------------------------------------------- coagulation
 
+@pytest.mark.slow
 def test_constant_kernel_smoluchowski_decay():
     """N(t) = N0 / (1 + K N0 t / 2) for the constant kernel."""
     n0 = 1.0e12            # m-3
@@ -115,6 +116,7 @@ def test_equilib_water_consistency():
     np.testing.assert_allclose(rh_back, 0.5, rtol=2e-2)
 
 
+@pytest.mark.slow
 def test_ccn_spectrum_monotone():
     st = _populate(128, 96, 1e9)
     from wrf_partmc_tpu.models.partmc.condense import ccn_conc

@@ -1,5 +1,7 @@
 """AeroState container invariants: sampling, add/compact/thin/split/rebalance."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -50,6 +52,7 @@ def test_sample_particles_moments():
     assert abs(vmean_est / vmean_true - 1) < 0.15  # MC tolerance
 
 
+@pytest.mark.slow
 def test_add_particles_and_compact_conserve():
     st = zero_state(AD, capacity=64, cell_shape=(3,))
     key = jax.random.key(1)
@@ -78,6 +81,7 @@ def test_add_overflow_conserves_number():
     np.testing.assert_allclose(float(st.total_num()), 2e9, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_thin_conserves_expected_number():
     st = zero_state(AD, capacity=256, cell_shape=())
     dist = _mode()
@@ -103,6 +107,7 @@ def test_split_largest_doubles_exactly():
     np.testing.assert_allclose(m1, m2, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_rebalance_targets():
     dist = _mode()
     cfg_ideal = 32
@@ -201,6 +206,7 @@ def test_scenario_linear_time_interp():
     np.testing.assert_allclose(float(g[0]), 2.0, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_add_particles_large_path_matches_small():
     """E > 64 routes through the MXU place engine; totals and per-source
     masses must match the small-E one-hot path (slot arrangement may

@@ -41,6 +41,7 @@ def _steps(state, grid, cfg, n):
     return out
 
 
+@pytest.mark.slow
 def test_hydrostatic_rebalance_exact_discrete():
     """The rebalanced phi' makes the discrete buoyancy residual (the w
     forcing of arw._slow_tendencies) vanish for a stratified moist sounding

@@ -98,6 +98,7 @@ def test_source_attribution_survives_coagulation():
     assert int(np.asarray(out.source)[p]) == int(si[np.argmax(sv)])
 
 
+@pytest.mark.slow
 def test_components_survive_transport_roundtrip():
     from wrf_partmc_tpu.config import DomainConfig, PartmcConfig, uniform_test_config
     from wrf_partmc_tpu.grid import make_grid

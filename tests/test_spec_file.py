@@ -160,6 +160,7 @@ def test_reference_em_scm_xy_spec_parses():
     assert len(d["time"]) == len(d["rate"]) == len(d["dist"]) >= 24
 
 
+@pytest.mark.slow
 def test_init_from_spec_populates_per_level(scenario_dir):
     """init_from_spec: per-height slabs land on model levels; the scenario
     injects gas emissions in the surface layer only."""

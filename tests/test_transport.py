@@ -285,6 +285,7 @@ def _convergent_probs(grid, n_class, p=0.3):
     return OutflowProbs(xm=xm, xp=xp, ym=ym, yp=yp, zm=z, zp=z)
 
 
+@pytest.mark.slow
 def test_preweight_acceptance_marks_convergence_target():
     from wrf_partmc_tpu.models.coupled.transport import (
         horizontal_diffusion_probs, normalized_face_probs,

@@ -24,6 +24,7 @@ def _grid(nz=8, ztop=1600.0):
     return cfg, make_grid(cfg)
 
 
+@pytest.mark.slow
 def test_vdiff_conserves_and_smooths():
     cfg, grid = _grid()
     rho_b, _, _ = base_profiles(grid)
