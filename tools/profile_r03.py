@@ -24,8 +24,8 @@ HBM_BW = 819e9     # TPU v5e peak HBM bandwidth [B/s]
 BF16_TF = 394e12
 
 
-def chain_time(f, x, n=4):
-    f = jax.jit(f)
+def chain_time(f, x, n=4, donate=False):
+    f = jax.jit(f, donate_argnums=0 if donate else ())
     y = jax.block_until_ready(f(x))
     t0 = time.perf_counter()
     for _ in range(n):
@@ -95,6 +95,7 @@ def main():
     res["particle_steps_per_s"] = round(alive / t_step, 1)
 
     cs2 = out
+    del cs, out
 
     # dycore alone
     dyn = D.partmc_to_wrf(cs2, grid, cfg)
@@ -109,9 +110,13 @@ def main():
         "roofline_frac": round(dyc_bytes / HBM_BW / t_dyn, 3)}
 
     # transport (payload moves ~4x: pack, T1, T2+merge, unpack)
-    t_tr, _ = chain_time(
+    env = D.make_env(dyn2, grid, cfg, cs2.step)
+    aero0 = cs2.aero
+    step_idx = cs2.step
+    del cs2
+    t_tr, aero_t = chain_time(
         lambda a: T.transport_step(a, diag.probs, diag.xkhh, exch, grid, cfg,
-                                   cfg.dynamics.dt, key), cs2.aero)
+                                   cfg.dynamics.dt, key), aero0, donate=True)
     tr_bytes = state_b * 4
     res["sections"]["transport_step"] = {
         "time_s": round(t_tr, 4), "approx_bytes": tr_bytes,
@@ -119,10 +124,9 @@ def main():
         "note": "MXU one-hot rebucket; bf16x3 matmul flops additional"}
 
     # coagulation (chem-dt cadence)
-    env = D.make_env(dyn2, grid, cfg, cs2.step)
     t_cg, _ = chain_time(
         lambda a: coag_step(a, ad, env, 60.0, key, kernel=KERNEL_BROWN),
-        cs2.aero)
+        aero_t, donate=True)
     cg_bytes = state_b * 3
     res["sections"]["coag_step"] = {
         "time_s": round(t_cg, 4), "approx_bytes": cg_bytes,

@@ -67,6 +67,9 @@ class DynamicsConfig:
     smdiv: float = 0.1            # divergence damping coefficient
     constant_velocity: bool = False  # PMC_CONSTANT_VEL: freeze dynamics
                                      # (solve_em.F:535,1326,1548)
+    sfs_opt: int = 0                 # 0=off, 1=NBA1 nonlinear LES subfilter
+                                     # stress (module_sfs_nba.F / Kosovic
+                                     # 1997; the em_les closure)
     mp_physics: int = 0              # 0=off, 1=Kessler warm rain, 2=WSM5-class
                                      # ice, 10=Morrison-class two-moment
     ra_physics: int = 0              # 0=off, 1=Dudhia-class SW + gray LW,

@@ -337,6 +337,23 @@ def _slow_tendencies(s: DycoreState, grid: Grid, cfg: Config) -> _ArwTend:
         adv_T = adv_T + mu_d[None] * kh * msq * _laplacian_h(theta, rdx, rdy,
                                                              bx, by)
 
+    # NBA1 nonlinear LES subfilter stress (sfs_opt=1, module_sfs_nba.F
+    # equivalent) — adds the quadratic anisotropy/backscatter terms on top
+    # of whatever linear closure diff_opt provides
+    if dyn.sfs_opt == 1:
+        from ...models.physics.sfs_nba import nba_stress_tendencies
+
+        u_c = 0.5 * (s.u + shift(s.u, 1, AXIS_X, bx))
+        v_c = 0.5 * (s.v + shift(s.v, 1, AXIS_Y, by))
+        w_c = _avg_fz(s.w)
+        du, dv, dw = nba_stress_tendencies(u_c, v_c, w_c, grid, bx, by)
+        adv_U = adv_U + mu_u * _avg_xf(du, bx)
+        adv_V = adv_V + mu_v * _avg_yf(dv, by)
+        dw_f = _avg_zf(dw)
+        kf2 = jnp.arange(grid.nz + 1).reshape(-1, 1, 1)
+        R_W = R_W + jnp.where((kf2 == 0) | (kf2 == grid.nz), 0.0,
+                              mu_d[None] * dw_f)
+
     return _ArwTend(U=adv_U - pgf_U + cor_U, V=adv_V - pgf_V + cor_V,
                     W=R_W, T=adv_T, PH=R_PH, mu_t=mu_t)
 
