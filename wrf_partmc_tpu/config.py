@@ -70,6 +70,9 @@ class DynamicsConfig:
     sfs_opt: int = 0                 # 0=off, 1=NBA1 nonlinear LES subfilter
                                      # stress (module_sfs_nba.F / Kosovic
                                      # 1997; the em_les closure)
+    cu_physics: int = 0              # 0=off, 2=Betts-Miller-Janjic-class
+                                     # convective adjustment (cumulus_driver
+                                     # slot, first_rk_step_part1.F:1052)
     mp_physics: int = 0              # 0=off, 1=Kessler warm rain, 2=WSM5-class
                                      # ice, 10=Morrison-class two-moment
     ra_physics: int = 0              # 0=off, 1=Dudhia-class SW + gray LW,

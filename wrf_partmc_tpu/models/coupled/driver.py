@@ -379,6 +379,13 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
         aero, gas = lax.cond(do_chem, micro, lambda ag: ag, (aero, gas))
         record("coag", _a0, aero)
 
+    # cumulus (cumulus_driver slot, first_rk_step_part1.F:1052): BMJ-class
+    # convective adjustment for dx too coarse to resolve convection
+    if cfg.dynamics.cu_physics == 2:
+        from ..physics.cumulus import bmj_step
+
+        dyn2, _rainc = bmj_step(dyn2, grid, dt)
+
     # radiation (radiation_driver at RK step 1 in the reference; the PartMC
     # aerosol direct effect enters through do_optical's tauaer/waer/gaer,
     # wrf_pmc_driver.F90:2025-2097)
