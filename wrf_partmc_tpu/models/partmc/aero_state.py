@@ -82,9 +82,12 @@ class AeroState:
 
     def num_by_class(self, n_class: int) -> jax.Array:
         """[..., n_class] represented number per weight class (feeds the
-        NUM_CONC_a## tracers, ``wrf_pmc_driver.F90:1710-1716``)."""
-        onehot = jax.nn.one_hot(self.w_class, n_class, dtype=self.num.dtype)
-        return jnp.einsum("...p,...pc->...c", self.num, onehot)
+        NUM_CONC_a## tracers, ``wrf_pmc_driver.F90:1710-1716``).  One-hot in
+        the [..., n_class, P] orientation (P on lanes) — the transposed form
+        pads n_class to 128 lanes."""
+        c_iota = jnp.arange(n_class, dtype=jnp.int32).reshape(-1, 1)
+        onehot = (self.w_class[..., None, :] == c_iota).astype(self.num.dtype)
+        return jnp.einsum("...p,...cp->...c", self.num, onehot)
 
     def num_by_source(self, n_source: int) -> jax.Array:
         """[..., n_source] represented number per primary source."""
