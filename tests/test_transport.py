@@ -216,7 +216,8 @@ def test_sharded_transport_matches_global_statistics(mesh8):
     step_g = jax.jit(lambda a, k: transport_step(
         a, diag.probs, diag.xkhh, exch, grid, cfg, cfg.dynamics.dt, k))
     step_s = jax.jit(lambda a, k: transport_step_sharded(
-        a, diag.probs, diag.xkhh, exch, grid, cfg, cfg.dynamics.dt, k, mesh8))
+        a, diag.probs, diag.xkhh, exch, grid, cfg, cfg.dynamics.dt, k,
+        mesh8)[0])
     a_g = aero
     a_s = aero
     for i in range(4):
@@ -258,7 +259,8 @@ def test_sharded_transport_open_boundary_outflow(mesh8):
     exch = jnp.zeros((grid.nz + 1, grid.ny, grid.nx), jnp.float32)
     n0 = float(aero.total_num().sum())
     step_s = jax.jit(lambda a, k: transport_step_sharded(
-        a, diag.probs, diag.xkhh, exch, grid, cfg, cfg.dynamics.dt, k, mesh8))
+        a, diag.probs, diag.xkhh, exch, grid, cfg, cfg.dynamics.dt, k,
+        mesh8)[0])
     a = aero
     for i in range(20):
         a = step_s(a, jax.random.key(i))
@@ -357,7 +359,7 @@ def test_sharded_convergent_flow_conserves_number(mesh8):
     exch = jnp.zeros((grid.nz + 1, grid.ny, grid.nx), jnp.float32)
     n0 = float(aero.total_num().sum())
     step = jax.jit(lambda a, k: transport_step_sharded(
-        a, probs, xkhh, exch, grid, cfg, cfg.dynamics.dt, k, mesh8))
+        a, probs, xkhh, exch, grid, cfg, cfg.dynamics.dt, k, mesh8)[0])
     a = aero
     for i in range(15):
         a = step(a, jax.random.key(30 + i))

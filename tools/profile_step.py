@@ -172,19 +172,21 @@ def profile_coupled(nx, ny, nz, n_part, cap):
         diag.probs)
     _report("vertical_operator (B^N A)", t)
 
-    p_hdiff = T.horizontal_diffusion_probs(diag.xkhh, grid, 10.0)
+    p_hdiff = T.horizontal_diffusion_probs(diag.xkhh, grid, 10.0, cfg=cfg)
     ph = T.normalized_face_probs(diag.probs, p_hdiff)
-    t, dests = _timeit(
-        lambda a: T.sample_destinations(a, ph, R, grid, cfg, key), cs.aero)
-    _report("sample_destinations", t, nbytes=state_b // 6)
+    t, moves = _timeit(
+        lambda a: T.sample_moves(a, ph, R, cfg.n_class, key), cs.aero)
+    _report("sample_moves", t, nbytes=state_b // 6)
 
-    t, _ = _timeit(
+    t, acc = _timeit(
         lambda a: T.preweight_acceptance(a, ph, R, grid, cfg), cs.aero)
     _report("preweight_acceptance", t)
 
-    nk, nj, ni, out = dests
-    t, _ = _timeit(lambda a: T.rebucket(a, nk, nj, ni, grid), cs.aero)
-    _report("rebucket (global sort)", t, nbytes=state_b * 3)
+    dj, di, dest_k, horizontal = moves
+    drop = T.open_boundary_drop(dj, di, horizontal, grid, cfg)
+    t, _ = _timeit(lambda a: T.rebucket(a, dest_k, dj, di, horizontal, drop,
+                                        acc, grid, cfg, key)[0], cs.aero)
+    _report("rebucket (MXU place)", t, nbytes=state_b * 3)
 
     t, _ = _timeit(
         lambda a: T.transport_step(a, diag.probs, diag.xkhh, exch, grid, cfg,

@@ -59,27 +59,33 @@ from ...models.partmc.aero_state import AeroState
 from ...models.dycore.state import base_profiles
 
 
-def horizontal_diffusion_probs(xkhh, grid: Grid, dt, rho3=None):
+def horizontal_diffusion_probs(xkhh, grid: Grid, dt, rho3=None,
+                               cfg: Config | None = None):
     """Per-face horizontal eddy-diffusion move probabilities
     (``compute_diffusion_probs``, ``wrf_pmc_trans.F90:358-407``):
     P_face = K_face dt rho_face / (dx^2 rho_cell), density-weighted and with
-    dy honored for the y faces.  Returns (pxm, pxp, pym, pyp) each
+    dy honored for the y faces.  Face K/rho averages honor the lateral BCs
+    (clamped, not wrapped, on open axes).  Returns (pxm, pxp, pym, pyp) each
     [nz, ny, nx]."""
+    from ...ops.stencil import shift as bshift
+
     if rho3 is None:
         rho_b, _, _ = base_profiles(grid)
         rho3 = jnp.broadcast_to(rho_b.reshape(-1, 1, 1), xkhh.shape)
     msq = (grid.msft * grid.msft) if grid.msft is not None else 1.0
+    bc_x = "periodic" if (cfg is None or cfg.boundary.periodic_x) else "clamp"
+    bc_y = "periodic" if (cfg is None or cfg.boundary.periodic_y) else "clamp"
 
-    def face(shift, axis, rdx2):
-        k_f = 0.5 * (xkhh + jnp.roll(xkhh, shift, axis))
-        r_f = 0.5 * (rho3 + jnp.roll(rho3, shift, axis))
+    def face(s, axis, rdx2, bc):
+        k_f = 0.5 * (xkhh + bshift(xkhh, s, axis, bc))
+        r_f = 0.5 * (rho3 + bshift(rho3, s, axis, bc))
         return jnp.clip(k_f * dt * msq * rdx2 * r_f
                         / jnp.maximum(rho3, 1e-10), 0.0, 0.2)
 
     rdx2 = grid.rdx * grid.rdx
     rdy2 = grid.rdy * grid.rdy
-    return (face(1, 2, rdx2), face(-1, 2, rdx2),
-            face(1, 1, rdy2), face(-1, 1, rdy2))
+    return (face(-1, 2, rdx2, bc_x), face(1, 2, rdx2, bc_x),
+            face(-1, 1, rdy2, bc_y), face(1, 1, rdy2, bc_y))
 
 
 def vertical_operator(probs: OutflowProbs, xkhh_unused, exch_h, grid: Grid,
@@ -214,10 +220,10 @@ def preweight_acceptance(aero: AeroState, ph, R, grid: Grid, cfg: Config):
     """
     C = ph[0].shape[0]
     pxm, pxp, pym, pyp = ph
-    c_iota = jnp.arange(C, dtype=jnp.int32).reshape(-1, 1)
-    onehot = (aero.w_class[..., None, :] == c_iota).astype(jnp.float32)
+    onehot = _class_onehot(aero.w_class, C)
     n_c = jnp.einsum("...p,...cp->...c",
-                     aero.alive.astype(jnp.float32), onehot)   # [nz,ny,nx,C]
+                     aero.alive.astype(jnp.bfloat16), onehot,
+                     preferred_element_type=jnp.float32)       # [nz,ny,nx,C]
     n_cf = jnp.moveaxis(n_c, -1, 0)                            # [C,nz,ny,nx]
 
     # horizontal arrivals: a mover through my east neighbor's west face (-x)
@@ -256,28 +262,43 @@ def preweight_acceptance(aero: AeroState, ph, R, grid: Grid, cfg: Config):
     return jnp.maximum(acc, 1.0 / 8.0)
 
 
+def _class_onehot(w_class, n_class: int):
+    """Per-particle class one-hot [..., n_class, P] in bf16 (0/1 exact; all
+    consuming matmuls accumulate in f32).  bf16 halves the HBM footprint,
+    which matters at the CARES class width (C ~ 40)."""
+    c_iota = jnp.arange(n_class, dtype=jnp.int32).reshape(-1, 1)
+    return (w_class[..., None, :] == c_iota).astype(jnp.bfloat16)
+
+
 def _gather_by_class(field_cf, cls_onehot_T):
     """field_cf: [n_class, nz, ny, nx] -> per-particle values [nz, ny, nx, P]
     via a one-hot contraction over the (small) class axis.  The one-hot is
     [..., n_class, P] (P on lanes): the [..., P, n_class] orientation pads
     n_class up to 128 lanes (16x memory)."""
     f = jnp.moveaxis(field_cf, 0, -1)              # [nz, ny, nx, n_class]
-    return jnp.einsum("...c,...cp->...p", f, cls_onehot_T)
+    return jnp.einsum("...c,...cp->...p", f,
+                      cls_onehot_T.astype(f.dtype),
+                      preferred_element_type=jnp.float32)
 
 
-def _sample_dest_k(R, w_class, u2, nz: int, n_class: int):
+def _sample_dest_k(R, cls_oh, u2, nz: int):
     """Vertical destination level per particle by inverse-CDF over its
-    column's R row.  The compare-and-count runs per class over a broadcast
-    [nz,ny,nx,P,nz_dest] expression that XLA fuses into the reduction — no
-    per-particle CDF tensor is ever materialized (the round-1 einsum built
-    [nz,ny,nx,P,nz] in HBM, which capped particle capacity)."""
+    column's R row: dest = #{d : u2 >= CDF[d]}.  Each particle's CDF value
+    at destination level d is gathered from its class's row by one one-hot
+    matmul (``_gather_by_class``), looped over the nz destination levels —
+    loop length independent of n_class (the r3 form replayed a
+    [nz,ny,nx,P,nz] compare-reduce per class, linear in class count), and
+    no [.., P, nz] per-particle CDF tensor is ever materialized."""
     R_cum = jnp.cumsum(R, axis=-1)                 # [C, ny, nx, src, dst]
-    dest = jnp.zeros(u2.shape, jnp.int32)
-    for ci in range(n_class):
-        cdf_c = jnp.moveaxis(R_cum[ci], 2, 0)      # [src(nz), ny, nx, dst]
-        d_c = jnp.sum((u2[..., None] >= cdf_c[:, :, :, None, :]),
-                      axis=-1, dtype=jnp.int32)
-        dest = jnp.where(w_class == ci, d_c, dest) if ci else d_c
+    Rt = jnp.moveaxis(R_cum, -1, 0)                # [dst, C, ny, nx, src]
+    Rt = jnp.moveaxis(Rt, -1, 2)                   # [dst, C, src, ny, nx]
+
+    def body(d, dest):
+        Rd = lax.dynamic_index_in_dim(Rt, d, 0, keepdims=False)
+        cdf_d = _gather_by_class(Rd, cls_oh)       # [nz, ny, nx, P]
+        return dest + (u2 >= cdf_d).astype(jnp.int32)
+
+    dest = lax.fori_loop(0, nz, body, jnp.zeros(u2.shape, jnp.int32))
     return jnp.clip(dest, 0, nz - 1)
 
 
@@ -289,8 +310,7 @@ def sample_moves(aero: AeroState, ph, R, n_class: int, key):
     nz = aero.num.shape[0]
     k_h, k_v = jax.random.split(key)
 
-    c_iota = jnp.arange(n_class, dtype=jnp.int32).reshape(-1, 1)
-    cls_oh = (aero.w_class[..., None, :] == c_iota).astype(jnp.float32)
+    cls_oh = _class_onehot(aero.w_class, n_class)
     pxm = _gather_by_class(ph[0], cls_oh)
     pxp = _gather_by_class(ph[1], cls_oh)
     pym = _gather_by_class(ph[2], cls_oh)
@@ -307,7 +327,7 @@ def sample_moves(aero: AeroState, ph, R, n_class: int, key):
     horizontal = u < c4
 
     u2 = jax.random.uniform(k_v, aero.num.shape)
-    dest_k = _sample_dest_k(R, aero.w_class, u2, nz, n_class)
+    dest_k = _sample_dest_k(R, cls_oh, u2, nz)
     return dj, di, dest_k, horizontal
 
 
@@ -351,12 +371,19 @@ def _apply_preweight_thin(num, alive, acc_at_dest, key):
 # ---------------------------------------------------------------------------
 
 
-def _caps(cfg: Config, P: int):
+def _caps(cfg: Config, P: int, nz: int):
     """Per-(source-cell, destination-class) mover caps.  Overflow beyond a
     cap conserves represented number by rescaling the shipped survivors of
-    that (cell, class); the hit rate is returned in the transport diag."""
-    av = cfg.partmc.trans_cap_v or max(16, P // 32)
-    ah = cfg.partmc.trans_cap_h or max(16, P // 32)
+    that (cell, class); the hit rate is surfaced through the transport diag
+    (``CoupledState.trans_diag`` -> history).
+
+    The vertical default scales with the per-level expectation: under
+    strong PBL mixing a near-uniform R row moves ~P/nz particles per
+    destination level, so the cap is 2x that (the old max(16, P//32) was
+    routinely saturated in exactly the regime the 1024-substep vertical
+    operator targets)."""
+    av = cfg.partmc.trans_cap_v or max(16, min(P, (2 * P) // max(nz, 1)))
+    ah = cfg.partmc.trans_cap_h or max(16, P // 16)
     return av, ah
 
 
@@ -379,7 +406,7 @@ def rebucket(aero: AeroState, dest_k, dj, di, horizontal, drop, acc,
 
     nz, nyl, nxl, P = aero.num.shape
     C = nz * nyl * nxl
-    Av, Ah = _caps(cfg, P)
+    Av, Ah = _caps(cfg, P, nz)
     F1 = nz * Av + 4 * Ah          # per-cell mover-region width
     AB = nz * Av + 4 * Ah          # per-cell arrival-buffer width
 
@@ -514,7 +541,7 @@ def rebucket(aero: AeroState, dest_k, dj, di, horizontal, drop, acc,
 
 def transport_step_sharded(aero: AeroState, probs: OutflowProbs, xkhh, exch_h,
                            grid: Grid, cfg: Config, dt, key, mesh,
-                           rho3=None, dz3=None) -> AeroState:
+                           rho3=None, dz3=None):
     """Distributed transport over a 2-D ('y','x') device mesh — the explicit
     TPU equivalent of the reference's neighbor particle exchange
     (``wrf_pmc_trans_aero.F90``: ghost delta_aero_states packed and
@@ -539,7 +566,7 @@ def transport_step_sharded(aero: AeroState, probs: OutflowProbs, xkhh, exch_h,
     ny_l, nx_l = ny // py, nx // px
 
     # Eulerian probability fields: GSPMD inserts the halo collectives
-    p_hdiff = horizontal_diffusion_probs(xkhh, grid, dt, rho3=rho3)
+    p_hdiff = horizontal_diffusion_probs(xkhh, grid, dt, rho3=rho3, cfg=cfg)
     ph = normalized_face_probs(probs, p_hdiff)
     R = vertical_operator(probs, xkhh, exch_h, grid, cfg, dt,
                           rho3=rho3, dz3=dz3)
@@ -591,15 +618,19 @@ def transport_step_sharded(aero: AeroState, probs: OutflowProbs, xkhh, exch_h,
                                                   cfg.n_class, k_mv)
         drop = open_boundary_drop(dj, di, horizontal, grid, cfg,
                                   ix0=ix * nx_l, iy0=iy * ny_l)
-        new, _diag = rebucket(aero_l, dest_k, dj, di, horizontal, drop,
-                              acc_l, grid, cfg, k_thin, roll_fn=roll_fn)
-        return new
+        new, diag = rebucket(aero_l, dest_k, dj, di, horizontal, drop,
+                             acc_l, grid, cfg, k_thin, roll_fn=roll_fn)
+        diag = {k_: lax.psum(lax.psum(v, "y"), "x")
+                for k_, v in diag.items()}
+        return new, diag
 
+    diag_specs = {k_: PS() for k_ in ("overflow_class", "overflow_free",
+                                      "movers")}
     fn = shard_map(local, mesh=mesh,
                    in_specs=(aero_specs, ph_specs,
                              PS(None, "y", "x", None, None),
                              PS(None, "y", "x"), PS()),
-                   out_specs=aero_specs, check_vma=False)
+                   out_specs=(aero_specs, diag_specs), check_vma=False)
     return fn(aero, ph, R, acc, key)
 
 
@@ -615,10 +646,14 @@ def transport_step(aero: AeroState, probs: OutflowProbs, xkhh, exch_h,
     an open lateral boundary are removed (the outflow-discard of
     ``wrf_pmc_trans_aero.F90:811-955``)."""
     if mesh is not None:
-        return transport_step_sharded(aero, probs, xkhh, exch_h, grid, cfg,
-                                      dt, key, mesh, rho3=rho3, dz3=dz3)
+        new, diag = transport_step_sharded(aero, probs, xkhh, exch_h, grid,
+                                           cfg, dt, key, mesh,
+                                           rho3=rho3, dz3=dz3)
+        if return_diag:
+            return new, diag
+        return new
     k_mv, k_thin = jax.random.split(key)
-    p_hdiff = horizontal_diffusion_probs(xkhh, grid, dt, rho3=rho3)
+    p_hdiff = horizontal_diffusion_probs(xkhh, grid, dt, rho3=rho3, cfg=cfg)
     ph = normalized_face_probs(probs, p_hdiff)
     R = vertical_operator(probs, xkhh, exch_h, grid, cfg, dt,
                           rho3=rho3, dz3=dz3)

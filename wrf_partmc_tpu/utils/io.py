@@ -84,6 +84,12 @@ def write_history(path: str, cs: CoupledState, grid, cfg, diag=None,
     if cs.removals is not None:
         for cause, arr in sorted(cs.removals.items()):
             var(f"removed_num_{cause}", ("z", "y", "x"), arr)
+    if getattr(cs, "trans_diag", None) is not None:
+        # cumulative rebucket saturation counters: a production run can see
+        # how often the number-conserving overflow paths fired
+        for name, val in sorted(cs.trans_diag.items()):
+            f.createVariable(f"trans_{name}", "f", ())[...] = float(
+                np.asarray(val))
     if diag is not None:
         f.createDimension("bin", diag.num_dist.shape[-1])
         f.createDimension("spec", diag.spec_mass.shape[-1])
