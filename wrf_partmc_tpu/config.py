@@ -82,7 +82,11 @@ class DynamicsConfig:
     bl_physics: int = 0              # 0=prescribed exch_h argument,
                                      # 1=MO surface layer + YSU-class K
                                      # diagnosed from the flow every step
-                                     # (sfclay + bl_ysu equivalents)
+                                     # (sfclay + bl_ysu equivalents),
+                                     # 2=MYJ surface layer + Mellor-Yamada
+                                     # level-2.5 prognostic-TKE PBL
+                                     # (module_sf_myjsfc + module_bl_myjpbl;
+                                     # the CARES d01 pair)
     sfc_z0: float = 0.1              # roughness length [m] (znt)
     sfc_heat_excess: float = 1.0     # idealized daytime skin-theta excess [K]
     sf_surface_physics: int = 0      # 0=prescribed excess, 1=slab LSM (force-restore)
@@ -155,10 +159,12 @@ class PartmcConfig:
                                          # count > trigger * ideal
                                          # (wrf_pmc_trans_aero.F90:1374-1402)
     trans_cap_v: int = 0           # per-(cell, dest-level) mover cap in the
-                                   # MXU rebucket (0 -> max(16, P // 16));
-                                   # overflow is counted and conserved by
-                                   # shipped-survivor rescale
+                                   # MXU rebucket (0 -> max(16, 2P/nz): 2x
+                                   # the strong-mixing per-level expectation);
+                                   # overflow is counted (trans_diag/history)
+                                   # and conserved by shipped-survivor rescale
     trans_cap_h: int = 0           # per-(cell, face) horizontal mover cap
+                                   # (0 -> max(16, P // 16))
     seasalt_source: int = 0        # source id / weight classes discovered by
     seasalt_class_film: int = 1    # sources.build_universe (reference
     seasalt_class_spume: int = -1  # hardcodes 2 dedicated classes,
@@ -229,11 +235,14 @@ def validate_config(cfg: Config) -> Config:
                 f"acoustic substep CFL {cfl_s:.2f} >= 1 "
                 f"(dt={dy.dt}, n_sound={dy.n_sound}, dx={d.dx}): "
                 "reduce dt or raise n_sound")
-    if dy.sf_surface_physics == 1 and not (dy.bl_physics == 1
+    if dy.sf_surface_physics == 1 and not (dy.bl_physics in (1, 2)
                                            and dy.ra_physics in (1, 4)):
-        errs.append("sf_surface_physics=1 (slab LSM) requires bl_physics=1 "
-                    "and ra_physics in (1, 4) — otherwise the skin "
+        errs.append("sf_surface_physics=1 (slab LSM) requires bl_physics in "
+                    "(1, 2) and ra_physics in (1, 4) — otherwise the skin "
                     "temperature is never integrated (silent no-op)")
+    if dy.bl_physics not in (0, 1, 2):
+        errs.append(f"bl_physics {dy.bl_physics} not in 0 (prescribed), "
+                    "1 (YSU pair), 2 (MYJ pair)")
     if dy.mp_physics == 1 and cfg.n_moist < 3:
         errs.append("mp_physics=1 (Kessler) needs n_moist >= 3")
     if dy.mp_physics == 2 and cfg.n_moist < 5:

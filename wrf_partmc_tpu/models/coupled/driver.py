@@ -64,6 +64,14 @@ class CoupledState:
     # cumulative per-cell represented-number removal counters by cause
     # (record_removals / aero_info_array equivalent); None when off
     removals: dict | None = None
+    # cumulative transport rebucket saturation counters (overflow_class /
+    # overflow_free / movers) so the number-conserving-but-composition-
+    # biased overflow paths are observable in production; None when
+    # do_transport is off
+    trans_diag: dict | None = None
+    # MYJ level-2.5 prognostic twice-TKE at w levels [nz+1, ny, nx]
+    # (bl_physics=2, module_bl_myjpbl.F equivalent); None otherwise
+    pbl_q2: jax.Array | None = None
 
 
 def cell_air_mass(dyn: DycoreState, grid: Grid):
@@ -192,20 +200,26 @@ def emission_step(aero: AeroState, gas, env: EnvState, aero_data: AeroData,
 def microphysics_step(aero: AeroState, gas, env: EnvState, aero_data: AeroData,
                       gas_data: GasData, scn: Scenario, cfg: Config,
                       grid: Grid, dyn: DycoreState, t,
-                      key) -> tuple[AeroState, jax.Array]:
+                      key):
     """partmc_timestep chem-macro-step work (``wrf_pmc_driver.F90:169-254``):
     nucleation (optional), coagulation, gas/aerosol chemistry, water uptake.
-    Scenario emissions run per-dt in :func:`emission_step`, not here."""
+    Scenario emissions run per-dt in :func:`emission_step`, not here.
+    Returns (aero, gas, coag_removed) with the per-cell represented number
+    removed by coagulation specifically (so the removal bookkeeping can
+    attribute coag vs other chem causes)."""
     pc = cfg.partmc
     dt_chem = pc.partmc_chem_dt
     k_coag, k_scn, k_ss = jax.random.split(key, 3)
+    coag_removed = jnp.zeros(env.temp.shape, jnp.float32)
     if pc.do_nucleation:
         from ..partmc.nucleate import nucleate_step
 
         aero, gas = nucleate_step(aero, gas, gas_data, aero_data, env.temp,
                                   env.pressure, env.cell_volume, dt_chem)
     if pc.do_coagulation:
+        _n0 = aero.total_num()
         aero = coag_step(aero, aero_data, env, dt_chem, k_coag, kernel=KERNEL_BROWN)
+        coag_removed = jnp.maximum(_n0 - aero.total_num(), 0.0)
     if pc.do_mosaic:
         if pc.chem_mech == "simple" or gas_data.n_spec < 77:
             from ..partmc.simple_chem import chem_step
@@ -231,17 +245,19 @@ def microphysics_step(aero: AeroState, gas, env: EnvState, aero_data: AeroData,
             aero, _s = condense_dynamic(aero, aero_data, env, dt_chem)
         else:
             aero = equilib_water(aero, aero_data, env)
-    return aero, gas
+    return aero, gas, coag_removed
 
 
 def surface_deposition(aero: AeroState, env: EnvState, aero_data: AeroData,
                        grid: Grid, cfg: Config, key,
-                       rmol=None) -> AeroState:
+                       rmol=None, dz1=None) -> AeroState:
     """Dry deposition from the lowest model layer only, stochastic
     per-particle removal (``wrf_pmc_trans.F90:183-198`` -> wrf_pmc_dep*).
     ``rmol`` (1/Monin-Obukhov length, from the surface layer) enables the
     stability-corrected aerodynamic resistance the reference consumes
-    (``wrf_pmc_dep.F90:31-101``)."""
+    (``wrf_pmc_dep.F90:31-101``).  ``dz1`` [ny, nx]: actual (geopotential-
+    derived) first-layer depth — consistent with the transport operator over
+    terrain; base-state fallback."""
     from ..partmc.aero_data import particle_mass, particle_volume
 
     diam = jnp.maximum(aero.wet_diameter(), 1e-9)
@@ -252,7 +268,8 @@ def surface_deposition(aero: AeroState, env: EnvState, aero_data: AeroData,
     r_a = aerodynamic_resistance(env, z_ref, z0=cfg.dynamics.sfc_z0,
                                  rmol=rmol)
     v_d = deposition_velocity(diam, rho_p, env, r_a)
-    p_rem = jnp.clip(v_d * cfg.dynamics.dt / grid.dz[0], 0.0, 1.0)
+    depth1 = grid.dz[0] if dz1 is None else dz1[None, :, :, None]
+    p_rem = jnp.clip(v_d * cfg.dynamics.dt / depth1, 0.0, 1.0)
     k0 = jax.lax.broadcasted_iota(jnp.int32, aero.num.shape, 0) == 0
     p_rem = jnp.where(k0, p_rem, 0.0)
     u = jax.random.uniform(key, aero.num.shape)
@@ -301,14 +318,17 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
     aero = cs.aero
     t = cs.step.astype(jnp.float32) * dt
 
-    # surface layer + PBL diagnosis (sfclay + bl_ysu equivalents): replaces
-    # the prescribed exch_h/ustar with flow-diagnosed fields every step
+    # surface layer + PBL diagnosis: replaces the prescribed exch_h/ustar
+    # with flow-diagnosed fields every step.  bl_physics=1 is the nonlocal
+    # YSU pair (sfclay + bl_ysu); bl_physics=2 the local MYJ TKE pair
+    # (module_sf_myjsfc + module_bl_myjpbl) — the CARES d01 configuration
+    # (namelist.input.cares:81,83)
     sfc_ustar = None
     sfc_rmol = None
-    if cfg.dynamics.bl_physics == 1:
+    q2_new = cs.pbl_q2
+    if cfg.dynamics.bl_physics in (1, 2):
         from ...ops.stencil import AXIS_X, AXIS_Y, shift
         from ..partmc.cbmz import cos_zenith
-        from ..physics.surface import pbl_height, surface_layer, ysu_exch_h
 
         dom = cfg.domain
         utc = dom.gmt * 3600.0 + t
@@ -318,7 +338,7 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
         u1 = 0.5 * (dyn2.u[0] + shift(dyn2.u[0], 1, AXIS_X))
         v1 = 0.5 * (dyn2.v[0] + shift(dyn2.v[0], 1, AXIS_Y))
         if cs.land is not None:
-            # slab-LSM skin theta (module_sf_slab TSK -> theta at surface)
+            # LSM skin theta (TSK -> theta at surface)
             from ... import constants as c
 
             exner_sfc = (grid.pb3[0] / c.P0) ** c.KAPPA
@@ -326,13 +346,25 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
         else:
             thsfc = theta[0] + cfg.dynamics.sfc_heat_excess * jnp.maximum(
                 cosz, -0.25)
-        sfc = surface_layer(u1, v1, theta[0], thsfc, grid.z_half[0],
-                            z0=cfg.dynamics.sfc_z0)
         u3 = 0.5 * (dyn2.u + shift(dyn2.u, 1, AXIS_X))
         v3 = 0.5 * (dyn2.v + shift(dyn2.v, 1, AXIS_Y))
-        h_pbl = pbl_height(theta, grid.z_half, u=u3, v=v3)
-        exch_h = ysu_exch_h(grid, sfc["ustar"], sfc["rmol"], h_pbl,
-                            hfx_kin=sfc["hfx_kin"], theta=theta, u=u3, v=v3)
+        if cfg.dynamics.bl_physics == 1:
+            from ..physics.surface import (pbl_height, surface_layer,
+                                           ysu_exch_h)
+
+            sfc = surface_layer(u1, v1, theta[0], thsfc, grid.z_half[0],
+                                z0=cfg.dynamics.sfc_z0)
+            h_pbl = pbl_height(theta, grid.z_half, u=u3, v=v3)
+            exch_h = ysu_exch_h(grid, sfc["ustar"], sfc["rmol"], h_pbl,
+                                hfx_kin=sfc["hfx_kin"], theta=theta,
+                                u=u3, v=v3)
+        else:
+            from ..physics.myj import myj_surface_layer, myj_tke_step
+
+            sfc = myj_surface_layer(u1, v1, theta[0], thsfc, grid.z_half[0],
+                                    z0=cfg.dynamics.sfc_z0)
+            q2_new, exch_h, _exch_m = myj_tke_step(
+                cs.pbl_q2, theta, u3, v3, grid, sfc["ustar"], dt)
         sfc_ustar = sfc["ustar"]
         sfc_rmol = sfc["rmol"]
 
@@ -368,6 +400,7 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
     if (pc.do_coagulation or pc.do_condensation
             or pc.do_nucleation or pc.do_mosaic):
         do_chem = (cs.step % m_chem) == 0
+        zero3 = jnp.zeros(env.temp.shape, jnp.float32)
 
         def micro(args):
             a, g = args
@@ -376,8 +409,14 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
                                      keys[rng.STREAM_COAG])
 
         _a0 = aero
-        aero, gas = lax.cond(do_chem, micro, lambda ag: ag, (aero, gas))
-        record("coag", _a0, aero)
+        aero, gas, coag_rem = lax.cond(
+            do_chem, micro, lambda ag: (ag[0], ag[1], zero3), (aero, gas))
+        # attribute coag-specific losses separately from the rest of the
+        # chem macro-step (nucleation/MOSAIC/condensation number changes)
+        if rem is not None:
+            rem["coag"] = rem["coag"] + coag_rem
+            rem["chem"] = rem["chem"] + jnp.maximum(
+                _a0.total_num() - aero.total_num() - coag_rem, 0.0)
 
     # cumulus (cumulus_driver slot, first_rk_step_part1.F:1052): BMJ-class
     # convective adjustment for dx too coarse to resolve convection
@@ -433,14 +472,20 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
     # stochastic transport (+ deposition at the surface layer); the vertical
     # operator consumes the actual geopotential-derived layer depths and
     # densities, not base-state flat-terrain values
+    tdiag = dict(cs.trans_diag) if cs.trans_diag is not None else None
+    dz3 = None
     if pc.do_transport:
         vol3 = cell_volume_3d(dyn2, grid).astype(jnp.float32)
         rho3 = (cell_air_mass(dyn2, grid) / vol3).astype(jnp.float32)
         dz3 = vol3 / (grid.dx * grid.dy)
         _a0 = aero
-        aero = transport_step(aero, diag.probs, diag.xkhh, exch_h, grid, cfg,
-                              dt, keys[rng.STREAM_TRANSPORT], mesh=mesh,
-                              rho3=rho3, dz3=dz3)
+        aero, _td = transport_step(aero, diag.probs, diag.xkhh, exch_h, grid,
+                                   cfg, dt, keys[rng.STREAM_TRANSPORT],
+                                   mesh=mesh, rho3=rho3, dz3=dz3,
+                                   return_diag=True)
+        if tdiag is not None:
+            for k_ in tdiag:
+                tdiag[k_] = tdiag[k_] + _td[k_]
         if not (cfg.boundary.periodic_x and cfg.boundary.periodic_y):
             record("outflow", _a0, aero)
 
@@ -456,7 +501,8 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
         _a0 = aero
         aero = surface_deposition(aero, env, aero_data, grid, cfg,
                                   keys[rng.STREAM_DEPOSITION],
-                                  rmol=sfc_rmol)
+                                  rmol=sfc_rmol,
+                                  dz1=(dz3[0] if dz3 is not None else None))
         record("deposition", _a0, aero)
 
     _a0 = aero
@@ -465,7 +511,8 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
     record("halving", _a0, aero)
 
     return CoupledState(dyn=dyn2, aero=aero, gas=gas, step=cs.step + 1,
-                        land=land2, removals=rem)
+                        land=land2, removals=rem, trans_diag=tdiag,
+                        pbl_q2=q2_new)
 
 
 def init_coupled(cfg: Config, grid: Grid, aero_data: AeroData,
@@ -482,11 +529,22 @@ def init_coupled(cfg: Config, grid: Grid, aero_data: AeroData,
     removals = None
     if cfg.partmc.record_removals:
         z3 = jnp.zeros((grid.nz, grid.ny, grid.nx), jnp.float32)
-        removals = {k: z3 for k in ("dilution", "coag", "outflow",
+        removals = {k: z3 for k in ("dilution", "coag", "chem", "outflow",
                                     "deposition", "halving")}
+    trans_diag = None
+    if cfg.partmc.do_transport:
+        z0 = jnp.zeros((), jnp.float32)
+        trans_diag = {k: z0 for k in ("overflow_class", "overflow_free",
+                                      "movers")}
+    pbl_q2 = None
+    if cfg.dynamics.bl_physics == 2:
+        from ..physics.myj import init_q2
+
+        pbl_q2 = init_q2(grid)
     return CoupledState(dyn=dyn, aero=aero, gas=gas,
                         step=jnp.asarray(0, jnp.int32), land=land,
-                        removals=removals)
+                        removals=removals, trans_diag=trans_diag,
+                        pbl_q2=pbl_q2)
 
 
 def run_coupled(cs: CoupledState, grid: Grid, cfg: Config,
