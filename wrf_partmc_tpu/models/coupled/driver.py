@@ -448,7 +448,8 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
             temperature(dyn2, grid), dyn2.moist[0], rho3, grid.dz, cosz,
             t_sfc=(cs.land.tsk if cs.land is not None else None),
             optics=optics,
-            lw_scheme="kdist" if cfg.dynamics.ra_physics == 4 else "gray")
+            lw_scheme="kdist" if cfg.dynamics.ra_physics == 4 else "gray",
+            sw_scheme="kdist" if cfg.dynamics.ra_physics == 4 else "dudhia")
         dyn2 = dataclasses.replace(dyn2, theta_p=dyn2.theta_p + dt * hr)
 
         # slab-LSM energy balance update (module_sf_slab; uses this step's

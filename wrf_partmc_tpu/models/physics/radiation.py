@@ -259,20 +259,117 @@ def longwave_kdist(temp, qv, rho, dz, t_sfc, emis_sfc=0.98):
     return heat_rate, lw_dn, olr
 
 
+# ---------------------------------------------------------------------------
+# RRTMG-class correlated-k multi-band shortwave (ra_sw_physics=4)
+#
+# Same architecture as RRTMG-SW (``phys/module_ra_rrtmg_sw.F``): spectral
+# bands x small k-distributions with Rayleigh scattering, H2O/O3 absorption
+# and the per-band aerosol tau/w0/g direct effect (the PartMC coupling
+# ``wrf_pmc_driver.F90:2025-2097`` feeds tauaer1-4 at exactly the 4 band
+# wavelengths 0.3/0.4/0.6/1.0 um).  As with the LW kdist, the k-tables are
+# compact calibrated sets (not the AER fits): band solar fractions from the
+# Planck-weighted solar spectrum, Rayleigh band optical depths from the
+# lambda^-4 law, and H2O g-points calibrated so clear-sky column absorption
+# reproduces the Lacis-Hansen broadband absorptance (~13% of TOA at
+# midlatitude-summer water paths) and surface transmittance matches the
+# published clear-sky range (asserted in tests/test_radiation_kdist.py).
+# ---------------------------------------------------------------------------
+
+# band edges [um]: UV | visible | near-IR weak | near-IR strong
+_SW_BANDS_UM = ((0.20, 0.35), (0.35, 0.70), (0.70, 1.30), (1.30, 4.00))
+_SW_FRAC = (0.065, 0.430, 0.303, 0.202)      # solar fraction per band
+_SW_RAY = (1.00, 0.115, 0.012, 0.0015)       # column Rayleigh tau per band
+# H2O k-distribution [m2 kg-1] per band (3 g-points; 0 = transparent),
+# calibrated so the slant-path band absorptances at ~30 kg m-2 precipitable
+# water are ~0.22 (0.7-1.3 um) and ~0.39 (1.3-4 um) — reproducing the
+# Lacis-Hansen broadband H2O absorption (~15% of TOA)
+_KSW_W = ((0.0, 0.0, 0.0), (0.0, 0.0, 0.0),
+          (0.03, 0.003, 0.0002), (0.2, 0.008, 0.0005))
+_GSW = (0.30, 0.40, 0.30)
+# O3 column absorption above the (tropospheric) model top: Hartley-Huggins
+# in the UV band (~40% band absorption at 300 DU), Chappuis in the visible
+# (~3%) [m2 kg-1 of O3]
+_K_O3 = (70.0, 5.0, 0.0, 0.0)
+_O3_COLUMN = 6.4e-3          # kg m-2 (~300 DU)
+
+
+def shortwave_kdist(qv, rho, dz, cosz, albedo, tauaer=None, waer=None,
+                    gaer=None, o3_column=_O3_COLUMN):
+    """Correlated-k multi-band clear-sky SW with the aerosol direct effect.
+
+    Per (band, g): Beer-Lambert gas absorption down each magnified path,
+    Rayleigh + aerosol extinction split into absorbed / backscattered /
+    forward-scattered parts (as the Dudhia-class pass, but per band with the
+    aerosol tau/w0/g of that band), surface reflection with one absorbing
+    upward pass.  Stratospheric O3 attenuates the TOA beam (the model
+    columns are tropospheric).  Returns (heat_rate [K/s], sw_sfc_down)."""
+    nz = qv.shape[0]
+    mu = jnp.maximum(jnp.asarray(cosz), 0.0)
+    mu_c = jnp.maximum(mu, 1e-3)
+    dzc = dz.reshape(-1, 1, 1)
+    w_layer = qv * rho * dzc / mu_c                    # magnified H2O path
+    air_layer = rho * dzc
+    air_frac = air_layer / jnp.maximum(air_layer.sum(0), 1e-10)
+
+    heat = jnp.zeros_like(qv)
+    sfc = jnp.zeros(jnp.broadcast_to(mu * 1.0, qv.shape[1:]).shape)
+    alb = jnp.asarray(albedo)
+    for b, fb in enumerate(_SW_FRAC):
+        s0_b = SOLAR_CONST * mu * fb \
+            * jnp.exp(-_K_O3[b] * o3_column / mu_c)    # O3-attenuated TOA
+        if tauaer is not None:
+            ta = tauaer[b] / mu_c
+            w0 = waer[b]
+            g = gaer[b]
+        else:
+            ta = jnp.zeros_like(qv)
+            w0 = jnp.zeros_like(qv)
+            g = jnp.zeros_like(qv)
+        tr = _SW_RAY[b] * air_frac / mu_c
+        att = 1.0 - jnp.exp(-(ta + tr))
+        ext = jnp.maximum(ta + tr, 1e-30)
+        aer_abs = att * (1.0 - w0) * ta / ext
+        back = att * (w0 * ta * 0.5 * (1.0 - g) + 0.5 * tr) / ext
+        t_scat = 1.0 - aer_abs - back                  # after scattering loss
+        for gi, gw in enumerate(_GSW):
+            k_w = _KSW_W[b][gi]
+            t_gas = jnp.exp(-k_w * w_layer)            # per-layer gas transm
+            t_layer = t_scat * t_gas
+            t_rev = t_layer[::-1]
+            cum_above = jnp.concatenate(
+                [jnp.ones_like(t_rev[:1]),
+                 jnp.cumprod(t_rev, axis=0)[:-1]], axis=0)[::-1]
+            flux_in = s0_b * gw * cum_above
+            absorbed = flux_in * (aer_abs + (1.0 - t_gas) * t_scat)
+            heat = heat + absorbed
+            sfc_b = flux_in[0] * t_layer[0]
+            sfc = sfc + sfc_b
+            # reflected surface beam: one diffuse absorbing pass upward
+            up = sfc_b * alb
+            heat = heat + up * (aer_abs + (1.0 - t_gas) * t_scat) * 0.5
+
+    heat_rate = heat / (rho * c.CP * dzc)
+    return heat_rate, sfc * (1.0 - alb)
+
+
 def radiation_driver(temp, qv, rho, dz, cosz, albedo=0.2, t_sfc=None,
-                     optics=None, lw_scheme: str = "gray"):
+                     optics=None, lw_scheme: str = "gray",
+                     sw_scheme: str = "dudhia"):
     """Full radiation step (radiation_driver equivalent).
 
     optics: BulkOptics (tauaer/waer/gaer) or None; t_sfc defaults to the
     lowest-layer temperature.  lw_scheme: "gray" (Dudhia-class, ra=1) or
-    "kdist" (RRTMG-class correlated-k, ra=4).
+    "kdist" (RRTMG-class correlated-k, ra=4); sw_scheme: "dudhia" (ra=1) or
+    "kdist" (RRTMG-class correlated-k SW, ra_sw=4 — the CARES choice,
+    namelist.input.cares:79).
     Returns (theta_heat_rate [K/s], diag dict)."""
     if t_sfc is None:
         t_sfc = temp[0]
     ta = wa = ga = None
     if optics is not None:
         ta, wa, ga = optics.tauaer, optics.waer, optics.gaer
-    sw_hr, sw_dn = shortwave(qv, rho, dz, cosz, albedo, ta, wa, ga)
+    sw = shortwave_kdist if sw_scheme == "kdist" else shortwave
+    sw_hr, sw_dn = sw(qv, rho, dz, cosz, albedo, ta, wa, ga)
     lw = longwave_kdist if lw_scheme == "kdist" else longwave
     lw_hr, lw_dn, olr = lw(temp, qv, rho, dz, t_sfc)
     return sw_hr + lw_hr, dict(sw_sfc_down=sw_dn, lw_sfc_down=lw_dn, olr=olr)
