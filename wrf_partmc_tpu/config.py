@@ -247,15 +247,12 @@ def validate_config(cfg: Config) -> Config:
         errs.append("mp_physics=1 (Kessler) needs n_moist >= 3")
     if dy.mp_physics == 2 and cfg.n_moist < 5:
         errs.append("mp_physics=2 (WSM5-class) needs n_moist >= 5 (qv qc qr qi qs)")
-    if dy.mp_physics == 10 and cfg.n_moist < 8:
-        errs.append("mp_physics=10 (Morrison two-moment) needs n_moist >= 8 "
-                    "(qv qc qr qi qs nr ni ns)")
-    if dy.mp_physics == 10 and cfg.n_moist_mass not in (0, 5):
-        errs.append("mp_physics=10 expects n_moist_mass=5 (number moments "
-                    "nr/ni/ns carry no mass)")
-    if dy.mp_physics == 10 and cfg.n_moist_mass == 0:
-        errs.append("mp_physics=10 requires n_moist_mass=5 — otherwise the "
-                    "nr/ni/ns number moments would enter the moisture mass")
+    if dy.mp_physics == 10 and (cfg.n_moist, cfg.n_moist_mass) not in (
+            (8, 5), (10, 6)):
+        errs.append("mp_physics=10 (Morrison two-moment) needs "
+                    "(n_moist, n_moist_mass) = (8, 5) [qv qc qr qi qs | "
+                    "nr ni ns] or (10, 6) with graupel [qv qc qr qi qs qg | "
+                    "nr ni ns ng] — number moments carry no mass")
     if (dy.h_adv_order not in (1, 2, 3, 4, 5, 6, "weno5", "weno3")
             or dy.v_adv_order not in (1, 2, 3, "weno3", "weno5")):
         errs.append(f"unsupported advection orders h={dy.h_adv_order} v={dy.v_adv_order}")

@@ -10,9 +10,19 @@ diagnosed slope, double-moment process rates, and moment-weighted
 sedimentation.  Cloud droplet number is the fixed NDCNST analogue (the WRF
 default for non-aerosol-aware runs).
 
-Moist-axis layout (n_moist >= 8):
+Moist-axis layout (n_moist == 8, no graupel):
   0 qv, 1 qc, 2 qr, 3 qi, 4 qs    [kg/kg]
   5 nr, 6 ni, 7 ns                [#/kg]
+With graupel (n_moist == 10 — the CARES configuration: the reference
+Morrison carries qg/ng with a hail switch, ``module_mp_morr_two_moment.F``):
+  0 qv, 1 qc, 2 qr, 3 qi, 4 qs, 5 qg   [kg/kg]
+  6 nr, 7 ni, 8 ns, 9 ng               [#/kg]
+Graupel processes: rain freezing routed to graupel, riming-to-graupel
+conversion when snow riming outpaces its depositional growth, graupel
+accretion of cloud and rain with a Musil-class wet-growth limit (unfrozen
+collected water sheds to rain), deposition/sublimation, melting, and
+moment-weighted sedimentation with the Locatelli-Hobbs lump-graupel fall
+law.
 
 All process formulations are the standard published ones: KK2000 warm-rain
 autoconversion/accretion, ventilated rain evaporation, Cooper ice
@@ -49,6 +59,9 @@ LF = c.ICE_LATENT_HEAT_FUS
 AR, BR = 841.99667, 0.8       # rain (Liu & Orville)
 AI, BI = 700.0, 1.0           # cloud ice
 AS, BS = 11.72, 0.41          # snow (Locatelli & Hobbs)
+AG, BG = 19.3, 0.37           # graupel (Locatelli & Hobbs lump graupel)
+RHO_G = 400.0
+M_G0 = 3.0e-9                 # embryo graupel mass (~250 um at rho_g)
 
 _G4 = 6.0                      # Gamma(4)
 
@@ -71,9 +84,17 @@ def morrison_step(state: DycoreState, grid: Grid, dt) -> DycoreState:
     """One adjustment-slot microphysics step (microphysics_driver position,
     ``solve_em.F:3760``)."""
     m = state.moist
+    has_g = m.shape[0] >= 10
     qv, qc, qr, qi, qs = (m[0], m[1], m[2], m[3], m[4])
-    nr, ni, ns = (jnp.maximum(m[5], 0.0), jnp.maximum(m[6], 0.0),
-                  jnp.maximum(m[7], 0.0))
+    if has_g:
+        qg = jnp.maximum(m[5], 0.0)
+        nr, ni, ns, ng = (jnp.maximum(m[6], 0.0), jnp.maximum(m[7], 0.0),
+                          jnp.maximum(m[8], 0.0), jnp.maximum(m[9], 0.0))
+    else:
+        qg = jnp.zeros_like(qr)
+        ng = jnp.zeros_like(qr)
+        nr, ni, ns = (jnp.maximum(m[5], 0.0), jnp.maximum(m[6], 0.0),
+                      jnp.maximum(m[7], 0.0))
     temp = temperature(state, grid)
     pres = total_pressure(state, grid)
     rho = pres / (c.R_D * temp)
@@ -84,6 +105,7 @@ def morrison_step(state: DycoreState, grid: Grid, dt) -> DycoreState:
     lam_r, _ = _slope(qr, nr, rho, RHO_W, 1e3, 1e5)
     lam_i, _ = _slope(qi, ni, rho, RHO_I, 1e3, 1e7)
     lam_s, _ = _slope(qs, ns, rho, RHO_S, 1e2, 1e5)
+    lam_g, _ = _slope(qg, ng, rho, RHO_G, 1e2, 1e5)
 
     # ---- warm rain (KK2000) ----
     nc = NDCNST / rho                                     # [#/kg]
@@ -140,7 +162,9 @@ def morrison_step(state: DycoreState, grid: Grid, dt) -> DycoreState:
     psacw = jnp.where(cold, jnp.pi / 4.0 * eff * AS * rho ** 0.5 * qc * ns
                       * _gamma(3.0 + BS) * lam_s ** (-(3.0 + BS)), 0.0)
 
-    # ---- rain freezing (Bigg 1953) below -4 C ----
+    # ---- rain freezing (Bigg 1953) below -4 C; frozen drops are dense
+    # rimed particles -> graupel when carried, else snow (the reference
+    # routes PGFR to graupel, module_mp_morr_two_moment.F) ----
     bigg = jnp.where(temp < t0c - 4.0,
                      100.0 * (jnp.exp(0.66 * (t0c - temp)) - 1.0), 0.0)
     pgfr = jnp.pi ** 2 / 36.0 * RHO_W / rho * bigg * nr \
@@ -148,37 +172,77 @@ def morrison_step(state: DycoreState, grid: Grid, dt) -> DycoreState:
     pgfr = jnp.minimum(pgfr, qr / dt)
     ngfr = jnp.where(qr > 1e-12, pgfr * nr / jnp.maximum(qr, 1e-12), 0.0)
 
-    # ---- melting (ice -> cloud, snow -> rain) above 0 C ----
+    # ---- graupel processes (only live when the moist family carries
+    # qg/ng; all rates are ~ ng and vanish otherwise) ----
+    # riming-to-graupel conversion: when snow riming outpaces twice its
+    # depositional growth, half the rimed mass densifies into graupel
+    # (threshold behavior of PGSACW, module_mp_morr_two_moment.F)
+    if has_g:
+        conv = cold & (psacw > 2.0 * jnp.maximum(prds, 0.0)) & (qs > 1e-7)
+        pgsacw = jnp.where(conv, 0.5 * psacw, 0.0)
+        psacw = psacw - pgsacw
+        ngsacw = pgsacw / M_G0
+    else:
+        pgsacw = jnp.zeros_like(psacw)
+        ngsacw = pgsacw
+    # graupel continuous collection of cloud water and rain (below 0 C)
+    gcol = jnp.pi / 4.0 * AG * rho ** 0.5 * ng \
+        * _gamma(3.0 + BG) * lam_g ** (-(3.0 + BG))
+    pgacw = jnp.where(cold, 0.7 * qc * gcol, 0.0)
+    pgacr = jnp.where(cold, 1.0 * qr * gcol, 0.0)
+    ngacr = jnp.where(qr > 1e-12, pgacr * nr / jnp.maximum(qr, 1e-12), 0.0)
+    # Musil-class wet-growth limit: freezing enthalpy flux bounds the
+    # rime rate; unfrozen collected water sheds back to rain
+    vent_g = (0.78 * ng * lam_g ** (-1.0)
+              + 0.308 * 0.9 * (ng * lam_g)
+              * jnp.sqrt(AG * rho ** 0.5) * _gamma(2.5 + BG / 2.0)
+              * lam_g ** (-(2.5 + BG / 2.0)))
+    kair = 0.024
+    pgwet = jnp.where(
+        cold,
+        2.0 * jnp.pi * (kair * (t0c - temp)
+                        + LV * dv * rho * jnp.maximum(qvs - qv, 0.0))
+        * vent_g / (rho * (LF + 4187.0 * (t0c - temp) + 1.0)), 1e9)
+    # graupel deposition/sublimation (as snow, with graupel ventilation)
+    prdg = jnp.where(cold, 2.0 * jnp.pi * dv * ssi * vent_g / ab_i, 0.0)
+    prdg = jnp.clip(prdg, -qg / dt, jnp.maximum(qv - qvi, 0.0) / dt)
+
+    # ---- melting (ice -> cloud, snow/graupel -> rain) above 0 C ----
     melt_rate = jnp.maximum(temp - t0c, 0.0) / (dt * 50.0)
     pim = jnp.where(~cold, jnp.minimum(qi / dt, qi * melt_rate / 1e-3), 0.0)
     psm = jnp.where(~cold, jnp.minimum(qs / dt, qs * melt_rate / 1e-3), 0.0)
+    pgm = jnp.where(~cold, jnp.minimum(qg / dt, qg * melt_rate / 2e-3), 0.0)
     nim = jnp.where(qi > 1e-12, pim * ni / jnp.maximum(qi, 1e-12), 0.0)
     nsm = jnp.where(qs > 1e-12, psm * ns / jnp.maximum(qs, 1e-12), 0.0)
+    ngm = jnp.where(qg > 1e-12, pgm * ng / jnp.maximum(qg, 1e-12), 0.0)
 
     # ---- conservation-limited process application: scale each species'
     # total sinks so they cannot exceed what is available (the positivity
     # clamps alone would create water) ----
     sink_v = (jnp.maximum(pnuc_q, 0.0) + jnp.maximum(prd, 0.0)
-              + jnp.maximum(prds, 0.0))
+              + jnp.maximum(prds, 0.0) + jnp.maximum(prdg, 0.0))
     fv = jnp.minimum(1.0, jnp.maximum(qv, 0.0)
                      / jnp.maximum(sink_v * dt, 1e-30))
     pnuc_q = pnuc_q * fv
     pnuc_n = pnuc_n * fv
     prd = jnp.where(prd > 0, prd * fv, prd)
     prds = jnp.where(prds > 0, prds * fv, prds)
-    sink_c = prc + pra + psacw
+    prdg = jnp.where(prdg > 0, prdg * fv, prdg)
+    sink_c = prc + pra + psacw + pgsacw + pgacw
     fc = jnp.minimum(1.0, jnp.maximum(qc, 0.0)
                      / jnp.maximum(sink_c * dt, 1e-30))
     prc, nprc, pra, psacw = prc * fc, nprc * fc, pra * fc, psacw * fc
+    pgsacw, ngsacw, pgacw = pgsacw * fc, ngsacw * fc, pgacw * fc
     sink_i = prci + pim + jnp.maximum(-prd, 0.0)
     fi = jnp.minimum(1.0, jnp.maximum(qi, 0.0)
                      / jnp.maximum(sink_i * dt, 1e-30))
     prci, nprci, pim, nim = prci * fi, nprci * fi, pim * fi, nim * fi
     prd = jnp.where(prd < 0, prd * fi, prd)
-    sink_r = pgfr + jnp.maximum(-pre, 0.0)
+    sink_r = pgfr + pgacr + jnp.maximum(-pre, 0.0)
     fr = jnp.minimum(1.0, jnp.maximum(qr, 0.0)
                      / jnp.maximum(sink_r * dt, 1e-30))
     pgfr, ngfr = pgfr * fr, ngfr * fr
+    pgacr, ngacr = pgacr * fr, ngacr * fr
     pre = jnp.where(pre < 0, pre * fr, pre)
     npre = jnp.where(pre < 0, npre * fr, npre)
     sink_s = psm + jnp.maximum(-prds, 0.0)
@@ -186,26 +250,49 @@ def morrison_step(state: DycoreState, grid: Grid, dt) -> DycoreState:
                      / jnp.maximum(sink_s * dt, 1e-30))
     psm, nsm = psm * fs, nsm * fs
     prds = jnp.where(prds < 0, prds * fs, prds)
+    sink_g = pgm + jnp.maximum(-prdg, 0.0)
+    fg = jnp.minimum(1.0, jnp.maximum(qg, 0.0)
+                     / jnp.maximum(sink_g * dt, 1e-30))
+    pgm, ngm = pgm * fg, ngm * fg
+    prdg = jnp.where(prdg < 0, prdg * fg, prdg)
 
-    dqc = -(prc + pra + psacw) * dt + pim * dt
-    dqr = (prc + pra - pgfr) * dt + pre * dt + psm * dt
+    # wet-growth split after limiting: the unfrozen part of the collected
+    # cloud+rain water sheds back to rain
+    dry = pgacw + pgacr
+    f_frz = jnp.minimum(1.0, pgwet / jnp.maximum(dry, 1e-30))
+    pshed = dry * (1.0 - f_frz)
+    pgacw_f = pgacw * f_frz
+    pgacr_f = pgacr * f_frz
+
+    pgfr_s = jnp.where(has_g, 0.0, pgfr)   # frozen rain -> snow w/o graupel
+    pgfr_g = pgfr - pgfr_s
+    dqc = -(prc + pra + psacw + pgsacw + pgacw) * dt + pim * dt
+    dqr = (prc + pra - pgfr - pgacr + pshed) * dt \
+        + pre * dt + (psm + pgm) * dt
     dqi = (pnuc_q + prd - prci - pim) * dt
-    dqs = (prci + prds + psacw + pgfr - psm) * dt
-    dqv = -(pnuc_q + prd + prds) * dt - pre * dt
+    dqs = (prci + prds + psacw + pgfr_s - psm) * dt
+    dqg = (pgfr_g + pgsacw + pgacw_f + pgacr_f + prdg - pgm) * dt
+    dqv = -(pnuc_q + prd + prds + prdg) * dt - pre * dt
 
     qc1 = jnp.maximum(qc + dqc, 0.0)
     qr1 = jnp.maximum(qr + dqr, 0.0)
     qi1 = jnp.maximum(qi + dqi, 0.0)
     qs1 = jnp.maximum(qs + dqs, 0.0)
+    qg1 = jnp.maximum(qg + dqg, 0.0)
     qv1 = jnp.maximum(qv + dqv, 0.0)
-    nr1 = jnp.maximum(nr + (nprc - nragg - ngfr + nsm + npre) * dt, 0.0)
+    nr1 = jnp.maximum(nr + (nprc - nragg - ngfr + nsm + ngm + npre
+                            - ngacr * f_frz) * dt, 0.0)
     ni1 = jnp.maximum(ni + (pnuc_n - nprci - nim) * dt, 0.0)
-    ns1 = jnp.maximum(ns + (nprci + ngfr - nsagg - nsm) * dt, 0.0)
+    ns1 = jnp.maximum(ns + (nprci + jnp.where(has_g, 0.0, ngfr)
+                            - nsagg - nsm) * dt, 0.0)
+    ng1 = jnp.maximum(ng + (jnp.where(has_g, ngfr, 0.0) + ngsacw
+                            - ngm) * dt, 0.0)
 
     # latent heating: condensation/deposition/freezing -> theta
     exner = (pres / c.P0) ** c.KAPPA
-    heat = (LV * (-pre) + LS * (pnuc_q + prd + prds)
-            + LF * (pgfr + psacw - pim - psm)) * dt / (c.CP * exner)
+    heat = (LV * (-pre) + LS * (pnuc_q + prd + prds + prdg)
+            + LF * (pgfr + psacw + pgsacw + pgacw_f + pgacr_f
+                    - pim - psm - pgm)) * dt / (c.CP * exner)
 
     # ---- saturation adjustment for cloud water (after processes) ----
     temp1 = temp + heat * exner
@@ -224,6 +311,7 @@ def morrison_step(state: DycoreState, grid: Grid, dt) -> DycoreState:
     lam_r1, _ = _slope(qr1, nr1, rho, RHO_W, 1e3, 1e5)
     lam_i1, _ = _slope(qi1, ni1, rho, RHO_I, 1e3, 1e7)
     lam_s1, _ = _slope(qs1, ns1, rho, RHO_S, 1e2, 1e5)
+    lam_g1, _ = _slope(qg1, ng1, rho, RHO_G, 1e2, 1e5)
     from .microphysics import _sediment
 
     if state.ph is not None:
@@ -232,23 +320,28 @@ def morrison_step(state: DycoreState, grid: Grid, dt) -> DycoreState:
     else:
         dz = jnp.broadcast_to(grid.dz.reshape(-1, 1, 1), qr1.shape)
 
-    for (q_, n_, lam_, a_, b_, iq, in_) in (
-            (qr1, nr1, lam_r1, AR, BR, 2, 5),
-            (qi1, ni1, lam_i1, AI, BI, 3, 6),
-            (qs1, ns1, lam_s1, AS, BS, 4, 7)):
-        vq = jnp.clip(fall_speed(a_, b_, lam_, 3.0), 0.0, 9.0)
-        vn = jnp.clip(fall_speed(a_, b_, lam_, 0.0), 0.0, 9.0)
-        q_new = _sediment(q_, rho, vq, dz, dt)
-        n_new = _sediment(n_, rho, vn, dz, dt)
-        if iq == 2:
-            qr1, nr1 = q_new, n_new
-        elif iq == 3:
-            qi1, ni1 = q_new, n_new
-        else:
-            qs1, ns1 = q_new, n_new
+    species = [(qr1, nr1, lam_r1, AR, BR, 9.0, "r"),
+               (qi1, ni1, lam_i1, AI, BI, 9.0, "i"),
+               (qs1, ns1, lam_s1, AS, BS, 9.0, "s")]
+    if has_g:
+        species.append((qg1, ng1, lam_g1, AG, BG, 20.0, "g"))
+    out = {}
+    for (q_, n_, lam_, a_, b_, vmax, tag) in species:
+        vq = jnp.clip(fall_speed(a_, b_, lam_, 3.0), 0.0, vmax)
+        vn = jnp.clip(fall_speed(a_, b_, lam_, 0.0), 0.0, vmax)
+        out[tag] = (_sediment(q_, rho, vq, dz, dt),
+                    _sediment(n_, rho, vn, dz, dt))
+    qr1, nr1 = out["r"]
+    qi1, ni1 = out["i"]
+    qs1, ns1 = out["s"]
 
     moist = m.at[0].set(qv1).at[1].set(qc1).at[2].set(qr1) \
-        .at[3].set(qi1).at[4].set(qs1).at[5].set(nr1) \
-        .at[6].set(ni1).at[7].set(ns1)
+        .at[3].set(qi1).at[4].set(qs1)
+    if has_g:
+        qg1, ng1 = out["g"]
+        moist = moist.at[5].set(qg1).at[6].set(nr1).at[7].set(ni1) \
+            .at[8].set(ns1).at[9].set(ng1)
+    else:
+        moist = moist.at[5].set(nr1).at[6].set(ni1).at[7].set(ns1)
     return dataclasses.replace(state, moist=moist,
                                theta_p=state.theta_p + heat)
