@@ -1,0 +1,137 @@
+"""Grell-class ensemble mass-flux convection (cu_physics=5; module_cu_g3.F
+family): deep unstable columns drive an entraining plume whose compensating
+subsidence warms/dries the column and rains; stable columns untouched."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wrf_partmc_tpu.config import Config, DomainConfig, DynamicsConfig, \
+    validate_config
+from wrf_partmc_tpu.grid import make_grid
+from wrf_partmc_tpu.models.dycore.ideal import init_warm_bubble_arw
+from wrf_partmc_tpu.models.dycore.state import temperature, total_pressure
+from wrf_partmc_tpu.models.physics.grell import grell_step
+from wrf_partmc_tpu.models.physics.thermo import saturation_mixing_ratio
+
+
+def _cfg(nz=20):
+    return Config(domain=DomainConfig(nx=4, ny=4, nz=nz, dx=12000.0,
+                                      dy=12000.0, ztop=12000.0),
+                  dynamics=DynamicsConfig(dt=60.0, dyn_opt="arw",
+                                          cu_physics=5))
+
+
+def _moist_unstable(cfg, grid, rh=0.95):
+    s = init_warm_bubble_arw(cfg, grid, d_theta=0.0)
+    temp = temperature(s, grid)
+    pres = total_pressure(s, grid)
+    qs = saturation_mixing_ratio(temp, pres)
+    kk = jnp.arange(grid.nz).reshape(-1, 1, 1)
+    qv = jnp.where(kk < 6, rh * qs, 0.1 * qs)
+    thp = s.theta_p + jnp.where(kk < 3, 4.0, 0.0)
+    return dataclasses.replace(s, theta_p=thp,
+                               moist=s.moist.at[0].set(qv))
+
+
+def test_grell_rains_warms_aloft_dries_pbl():
+    """The mass-flux signature: rainfall, subsidence warming through the
+    cloud layer, boundary-layer drying, and a finite ensemble-mean
+    tendency."""
+    cfg = _cfg()
+    validate_config(cfg)
+    grid = make_grid(cfg)
+    s = _moist_unstable(cfg, grid)
+    temp0 = temperature(s, grid)
+    pres = total_pressure(s, grid)
+    rho = pres / (287.0 * temp0)
+    dz = jnp.broadcast_to(grid.dz.reshape(-1, 1, 1), temp0.shape)
+    dm = rho * dz
+
+    s2 = s
+    rain_tot = 0.0
+    step = jax.jit(lambda st: grell_step(st, grid, cfg.dynamics.dt))
+    for _ in range(20):
+        s2, rain = step(s2)
+        rain_tot += float(rain.mean()) * cfg.dynamics.dt
+    temp1 = temperature(s2, grid)
+    assert np.isfinite(np.asarray(s2.theta_p)).all()
+    assert rain_tot > 1e-3, rain_tot             # rained over 20 min
+    dq = float(jnp.sum((s2.moist[0] - s.moist[0]) * dm))
+    assert dq < 0.0                              # column net dried
+    # heating dipole: mid-level warming exceeds low-level warming (the
+    # mass-flux subsidence signature; BM-class adjustment cools aloft)
+    d_t = np.asarray(temp1 - temp0)
+    warm_mid = d_t[6:14].mean()
+    assert warm_mid > 0.0, warm_mid
+    # PBL moisture removed where the downdraft/drying acts
+    assert float((s2.moist[0] - s.moist[0])[1:5].sum()) < 0.0
+
+
+def test_grell_stable_column_no_op():
+    cfg = _cfg()
+    grid = make_grid(cfg)
+    s = init_warm_bubble_arw(cfg, grid, d_theta=0.0)   # dry stable column
+    s = dataclasses.replace(s, moist=s.moist.at[0].set(1e-4))
+    s2, rain = jax.jit(lambda st: grell_step(st, grid, cfg.dynamics.dt))(s)
+    assert float(rain.max()) == 0.0
+    np.testing.assert_allclose(np.asarray(s2.theta_p),
+                               np.asarray(s.theta_p), atol=1e-6)
+
+
+def test_grell_ensemble_members_differ_and_average():
+    """The ensemble actually spans entrainment members: running with a
+    single member produces a different (non-averaged) tendency."""
+    import wrf_partmc_tpu.models.physics.grell as G
+
+    cfg = _cfg()
+    grid = make_grid(cfg)
+    s = _moist_unstable(cfg, grid)
+    _, rain3 = grell_step(s, grid, cfg.dynamics.dt)
+    old = G.ENTR_MEMBERS
+    try:
+        G.ENTR_MEMBERS = (old[0],)
+        _, rain1 = grell_step(s, grid, cfg.dynamics.dt)
+    finally:
+        G.ENTR_MEMBERS = old
+    # weak-entrainment member rains differently than the ensemble mean
+    assert abs(float(rain1.mean()) - float(rain3.mean())) > 1e-9
+
+
+def test_grell_in_coupled_step():
+    """cu_physics=5 dispatches through coupled_step (CARES d01 cumulus
+    slot) with finite fields."""
+    from wrf_partmc_tpu.config import PartmcConfig, uniform_test_config
+    from wrf_partmc_tpu.models.coupled.driver import init_coupled, run_coupled
+    from wrf_partmc_tpu.models.coupled.init import populate_from_number_field
+    from wrf_partmc_tpu.models.dycore.state import zero_dycore_state
+    from wrf_partmc_tpu.models.partmc.aero_data import make_aero_data
+    from wrf_partmc_tpu.models.partmc.dist import make_mode
+    from wrf_partmc_tpu.models.partmc.gas_data import make_gas_data
+    from wrf_partmc_tpu.models.partmc.scenario import constant_scenario
+
+    AD, GD = make_aero_data(), make_gas_data()
+    cfg = uniform_test_config().replace(
+        domain=DomainConfig(nx=6, ny=6, nz=8, dx=2000.0, dy=2000.0,
+                            ztop=1600.0),
+        partmc=PartmcConfig(num_particles=16, max_particles=48,
+                            do_coagulation=False, do_emission=False,
+                            do_deposition=False, do_transport=True))
+    cfg = cfg.replace(dynamics=dataclasses.replace(
+        cfg.dynamics, constant_velocity=False, n_sound=2, cu_physics=5))
+    validate_config(cfg)
+    grid = make_grid(cfg)
+    dyn = zero_dycore_state(cfg, grid)
+    conc = jnp.full((grid.nz, grid.ny, grid.nx), 1e8)
+    aero = populate_from_number_field(AD, cfg, grid, conc, jax.random.key(1))
+    cs = dataclasses.replace(init_coupled(cfg, grid, AD, GD, dyn), aero=aero)
+    vf = np.zeros(AD.n_spec)
+    vf[0] = 1.0
+    scn = constant_scenario(AD, GD.n_spec, make_mode(0.0, 1e-7, 1.6, vf))
+    exch = jnp.zeros((grid.nz + 1, grid.ny, grid.nx), jnp.float32)
+    out = jax.jit(lambda c: run_coupled(c, grid, cfg, AD, GD, scn, exch,
+                                        5))(cs)
+    assert np.isfinite(np.asarray(out.dyn.theta_p)).all()
+    assert float(out.aero.total_num().sum()) > 0.0

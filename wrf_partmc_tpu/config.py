@@ -71,7 +71,9 @@ class DynamicsConfig:
                                      # stress (module_sfs_nba.F / Kosovic
                                      # 1997; the em_les closure)
     cu_physics: int = 0              # 0=off, 2=Betts-Miller-Janjic-class
-                                     # convective adjustment (cumulus_driver
+                                     # convective adjustment, 5=Grell-class
+                                     # ensemble mass-flux (module_cu_g3.F;
+                                     # the CARES d01 choice) (cumulus_driver
                                      # slot, first_rk_step_part1.F:1052)
     mp_physics: int = 0              # 0=off, 1=Kessler warm rain, 2=WSM5-class
                                      # ice, 10=Morrison-class two-moment
@@ -243,6 +245,9 @@ def validate_config(cfg: Config) -> Config:
     if dy.bl_physics not in (0, 1, 2):
         errs.append(f"bl_physics {dy.bl_physics} not in 0 (prescribed), "
                     "1 (YSU pair), 2 (MYJ pair)")
+    if dy.cu_physics not in (0, 2, 5):
+        errs.append(f"cu_physics {dy.cu_physics} not in 0 (off), 2 (BMJ), "
+                    "5 (Grell ensemble)")
     if dy.mp_physics == 1 and cfg.n_moist < 3:
         errs.append("mp_physics=1 (Kessler) needs n_moist >= 3")
     if dy.mp_physics == 2 and cfg.n_moist < 5:

@@ -418,12 +418,17 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
             rem["chem"] = rem["chem"] + jnp.maximum(
                 _a0.total_num() - aero.total_num() - coag_rem, 0.0)
 
-    # cumulus (cumulus_driver slot, first_rk_step_part1.F:1052): BMJ-class
-    # convective adjustment for dx too coarse to resolve convection
+    # cumulus (cumulus_driver slot, first_rk_step_part1.F:1052): cu=2 is
+    # the BMJ-class adjustment, cu=5 the Grell-class ensemble mass-flux
+    # scheme CARES d01 configures (namelist.input.cares:85)
     if cfg.dynamics.cu_physics == 2:
         from ..physics.cumulus import bmj_step
 
         dyn2, _rainc = bmj_step(dyn2, grid, dt)
+    elif cfg.dynamics.cu_physics == 5:
+        from ..physics.grell import grell_step
+
+        dyn2, _rainc = grell_step(dyn2, grid, dt)
 
     # radiation (radiation_driver at RK step 1 in the reference; the PartMC
     # aerosol direct effect enters through do_optical's tauaer/waer/gaer,
