@@ -91,8 +91,11 @@ class DynamicsConfig:
                                      # the CARES d01 pair)
     sfc_z0: float = 0.1              # roughness length [m] (znt)
     sfc_heat_excess: float = 1.0     # idealized daytime skin-theta excess [K]
-    sf_surface_physics: int = 0      # 0=prescribed excess, 1=slab LSM (force-restore)
-                                     # (scaled by cos zenith; slab LSM later)
+    sf_surface_physics: int = 0      # 0=prescribed excess (scaled by cos
+                                     # zenith), 1=slab LSM (force-restore),
+                                     # 2=Noah-class 4-layer soil T/moisture
+                                     # with vegetation resistance
+                                     # (module_sf_noahdrv.F; CARES d02)
     vert_diff_fields: bool = True    # implicit vertical diffusion of
                                      # u/v/theta/moist/chem/tke from exch_h
                                      # (module_diffusion_em vertical path via
@@ -237,11 +240,15 @@ def validate_config(cfg: Config) -> Config:
                 f"acoustic substep CFL {cfl_s:.2f} >= 1 "
                 f"(dt={dy.dt}, n_sound={dy.n_sound}, dx={d.dx}): "
                 "reduce dt or raise n_sound")
-    if dy.sf_surface_physics == 1 and not (dy.bl_physics in (1, 2)
-                                           and dy.ra_physics in (1, 4)):
-        errs.append("sf_surface_physics=1 (slab LSM) requires bl_physics in "
-                    "(1, 2) and ra_physics in (1, 4) — otherwise the skin "
-                    "temperature is never integrated (silent no-op)")
+    if dy.sf_surface_physics in (1, 2) and not (dy.bl_physics in (1, 2)
+                                                and dy.ra_physics in (1, 4)):
+        errs.append("sf_surface_physics=1/2 (slab/Noah LSM) requires "
+                    "bl_physics in (1, 2) and ra_physics in (1, 4) — "
+                    "otherwise the skin temperature is never integrated "
+                    "(silent no-op)")
+    if dy.sf_surface_physics not in (0, 1, 2):
+        errs.append(f"sf_surface_physics {dy.sf_surface_physics} not in "
+                    "0 (prescribed), 1 (slab), 2 (Noah-class 4-layer)")
     if dy.bl_physics not in (0, 1, 2):
         errs.append(f"bl_physics {dy.bl_physics} not in 0 (prescribed), "
                     "1 (YSU pair), 2 (MYJ pair)")

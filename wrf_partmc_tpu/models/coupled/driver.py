@@ -457,16 +457,19 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
             sw_scheme="kdist" if cfg.dynamics.ra_physics == 4 else "dudhia")
         dyn2 = dataclasses.replace(dyn2, theta_p=dyn2.theta_p + dt * hr)
 
-        # slab-LSM energy balance update (module_sf_slab; uses this step's
-        # radiation + the surface layer's u*)
+        # LSM energy balance update (module_sf_slab for sf=1, the Noah-class
+        # 4-layer soil for sf=2 — CARES d02; uses this step's radiation +
+        # the surface layer's u*)
         if cs.land is not None and sfc_ustar is not None:
             from ... import constants as c
-            from ..physics.lsm import slab_lsm_step
+            from ..physics.lsm import noah_lsm_step, slab_lsm_step
 
             exner_sfc = (grid.pb3[0] / c.P0) ** c.KAPPA
             rho1 = rho3[0]
             th1 = grid.t_base[0] + dyn2.theta_p[0]
-            land2, _sfc_fluxes = slab_lsm_step(
+            lsm = (noah_lsm_step
+                   if cfg.dynamics.sf_surface_physics == 2 else slab_lsm_step)
+            land2, _sfc_fluxes = lsm(
                 cs.land, _rad_diag["sw_sfc_down"], _rad_diag["lw_sfc_down"],
                 temperature(dyn2, grid)[0], dyn2.moist[0][0], rho1,
                 sfc_ustar, exner_sfc, th1, dt)
@@ -532,6 +535,11 @@ def init_coupled(cfg: Config, grid: Grid, aero_data: AeroData,
 
         t_sfc0 = float(jnp.asarray(grid.t_base)[0])   # theta ~ T at surface
         land = init_land(grid.ny, grid.nx, t_sfc0)
+    elif cfg.dynamics.sf_surface_physics == 2:
+        from ..physics.lsm import init_noah
+
+        t_sfc0 = float(jnp.asarray(grid.t_base)[0])
+        land = init_noah(grid.ny, grid.nx, t_sfc0, tbot=t_sfc0 - 3.0)
     removals = None
     if cfg.partmc.record_removals:
         z3 = jnp.zeros((grid.nz, grid.ny, grid.nx), jnp.float32)
