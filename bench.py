@@ -49,14 +49,15 @@ def _build_dycore(nx, ny, nz):
     return run, state
 
 
-def _build_coupled(nx, ny, nz, n_part, cap, chem_on=False):
+def _build_coupled(nx, ny, nz, n_part, cap, chem_on=False, n_sources=None):
     import jax
 
     import __graft_entry__ as ge
 
     step_fn, cs = ge._build(nx=nx, ny=ny, nz=nz, n_part=n_part, cap=cap,
                             everything_on=True, chem_on=chem_on,
-                            chem_dt=300.0 if chem_on else 60.0)
+                            chem_dt=300.0 if chem_on else 60.0,
+                            n_sources=n_sources)
 
     def run(s, n):
         def body(c, _):
@@ -115,7 +116,8 @@ def worker_coupled(args):
     import jax.numpy as jnp
 
     run, st = _build_coupled(args.nx, args.ny, args.nz, args.n_part, args.cap,
-                             chem_on=bool(args.chem))
+                             chem_on=bool(args.chem),
+                             n_sources=args.n_sources or None)
     t, out = _time_run(run, st, args.steps)
     print(json.dumps({
         "t": t,
@@ -157,6 +159,7 @@ def main():
     ap.add_argument("--n_part", type=int, default=0)
     ap.add_argument("--cap", type=int, default=0)
     ap.add_argument("--chem", type=int, default=0)
+    ap.add_argument("--n_sources", type=int, default=0)
     args = ap.parse_args()
 
     if args.worker:
@@ -234,6 +237,26 @@ def main():
             }
             break
 
+    # --- CARES-width weight-class universe (~40 classes; VERDICT r4
+    # item 4): same em_uniform problem with a 38-source universe ---
+    wide_extra = {}
+    for n_try in (n_part, n_part // 2, n_part // 5):
+        n_p = max(n_try, 8)
+        cp = max(int(cap0 * n_try / n_part0), 16)
+        rw = _spawn("coupled", ["--nx", str(nx), "--ny", str(ny),
+                                "--nz", str(nz), "--steps", str(n_cpl),
+                                "--n_part", str(n_p), "--cap", str(cp),
+                                "--n_sources", "38"], use_cpu=use_cpu)
+        if rw is not None:
+            t_w = rw["t"]
+            wide_extra = {
+                "coupled_40class_cell_steps_per_s": round(cells * n_cpl / t_w, 1),
+                "coupled_40class_particles_per_cell": n_p,
+                "coupled_40class_vs_8class_step_ratio": round(
+                    (t_w / n_cpl) / (t_c / n_cpl), 3) if n_p == n_part else None,
+            }
+            break
+
     prev = _prev_value()
     result = {
         "metric": f"solve_em grid-points/s/chip ({dyc_dims[0]}x{dyc_dims[1]}x{dyc_dims[2]} live dynamics)",
@@ -250,6 +273,7 @@ def main():
             "coag_pair_evals_per_s": round(coag_pairs, 1),
             "alive_particles": int(parts),
             **chem_extra,
+            **wide_extra,
         },
     }
     print(json.dumps(result))
