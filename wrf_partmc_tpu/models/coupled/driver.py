@@ -64,11 +64,6 @@ class CoupledState:
     # cumulative per-cell represented-number removal counters by cause
     # (record_removals / aero_info_array equivalent); None when off
     removals: dict | None = None
-    # cumulative transport rebucket saturation counters (overflow_class /
-    # overflow_free / movers) so the number-conserving-but-composition-
-    # biased overflow paths are observable in production; None when
-    # do_transport is off
-    trans_diag: dict | None = None
     # MYJ level-2.5 prognostic twice-TKE at w levels [nz+1, ny, nx]
     # (bl_physics=2, module_bl_myjpbl.F equivalent); None otherwise
     pbl_q2: jax.Array | None = None
@@ -281,13 +276,20 @@ def surface_deposition(aero: AeroState, env: EnvState, aero_data: AeroData,
 
 def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
                  aero_data: AeroData, gas_data: GasData, scn: Scenario,
-                 exch_h, base_seed_key, mesh=None, bdy=None) -> CoupledState:
+                 exch_h, base_seed_key, mesh=None, bdy=None,
+                 diag_out: bool = False):
     """One full coupled timestep (one iteration of integrate's while loop).
 
     ``mesh``: optional 2-D ('y','x') jax.sharding.Mesh.  When given, particle
     transport runs the production sharded ICI face-buffer path
     (``transport_step_sharded``); dycore/chemistry stay GSPMD-sharded either
-    way."""
+    way.
+
+    ``diag_out``: also return the per-step transport saturation counters
+    (overflow_class / overflow_free / movers) as a second output so the
+    host loop can accumulate and surface them in history (the diag lives
+    OUTSIDE the carried state: extra small carried leaves trip an aliasing
+    bug in the axon TPU runtime under buffer donation)."""
     pc = cfg.partmc
     dt = cfg.dynamics.dt
     m_chem = max(1, int(round(pc.partmc_chem_dt / dt)))
@@ -481,20 +483,18 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
     # stochastic transport (+ deposition at the surface layer); the vertical
     # operator consumes the actual geopotential-derived layer depths and
     # densities, not base-state flat-terrain values
-    tdiag = dict(cs.trans_diag) if cs.trans_diag is not None else None
+    tdiag = None
     dz3 = None
     if pc.do_transport:
         vol3 = cell_volume_3d(dyn2, grid).astype(jnp.float32)
         rho3 = (cell_air_mass(dyn2, grid) / vol3).astype(jnp.float32)
         dz3 = vol3 / (grid.dx * grid.dy)
         _a0 = aero
-        aero, _td = transport_step(aero, diag.probs, diag.xkhh, exch_h, grid,
-                                   cfg, dt, keys[rng.STREAM_TRANSPORT],
-                                   mesh=mesh, rho3=rho3, dz3=dz3,
-                                   return_diag=True)
-        if tdiag is not None:
-            for k_ in tdiag:
-                tdiag[k_] = tdiag[k_] + _td[k_]
+        aero, tdiag = transport_step(aero, diag.probs, diag.xkhh, exch_h,
+                                     grid, cfg, dt,
+                                     keys[rng.STREAM_TRANSPORT],
+                                     mesh=mesh, rho3=rho3, dz3=dz3,
+                                     return_diag=True)
         if not (cfg.boundary.periodic_x and cfg.boundary.periodic_y):
             record("outflow", _a0, aero)
 
@@ -519,9 +519,14 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
                      pc.allow_halving, pc.allow_doubling)
     record("halving", _a0, aero)
 
-    return CoupledState(dyn=dyn2, aero=aero, gas=gas, step=cs.step + 1,
-                        land=land2, removals=rem, trans_diag=tdiag,
-                        pbl_q2=q2_new)
+    out = CoupledState(dyn=dyn2, aero=aero, gas=gas, step=cs.step + 1,
+                       land=land2, removals=rem, pbl_q2=q2_new)
+    if diag_out:
+        zero = jnp.zeros((), jnp.float32)
+        return out, (tdiag if tdiag is not None else
+                     {k: zero for k in ("overflow_class", "overflow_free",
+                                        "movers")})
+    return out
 
 
 def init_coupled(cfg: Config, grid: Grid, aero_data: AeroData,
@@ -545,11 +550,6 @@ def init_coupled(cfg: Config, grid: Grid, aero_data: AeroData,
         z3 = jnp.zeros((grid.nz, grid.ny, grid.nx), jnp.float32)
         removals = {k: z3 for k in ("dilution", "coag", "chem", "outflow",
                                     "deposition", "halving")}
-    trans_diag = None
-    if cfg.partmc.do_transport:
-        z0 = jnp.zeros((), jnp.float32)
-        trans_diag = {k: z0 for k in ("overflow_class", "overflow_free",
-                                      "movers")}
     pbl_q2 = None
     if cfg.dynamics.bl_physics == 2:
         from ..physics.myj import init_q2
@@ -557,8 +557,7 @@ def init_coupled(cfg: Config, grid: Grid, aero_data: AeroData,
         pbl_q2 = init_q2(grid)
     return CoupledState(dyn=dyn, aero=aero, gas=gas,
                         step=jnp.asarray(0, jnp.int32), land=land,
-                        removals=removals, trans_diag=trans_diag,
-                        pbl_q2=pbl_q2)
+                        removals=removals, pbl_q2=pbl_q2)
 
 
 def run_coupled(cs: CoupledState, grid: Grid, cfg: Config,

@@ -387,8 +387,33 @@ def _caps(cfg: Config, P: int, nz: int):
     return av, ah
 
 
+def _reorder_minis(minis, nz, nyl, nxl, chb, Av, Ah, roll):
+    """Cross-cell reorder of the per-cell mover mini-regions into
+    per-destination-cell arrival buffers by pure reshapes/transposes/rolls
+    (the static per-(src, dst) caps make it a transpose).
+    minis: [C, chb, F1] -> arr [C, chb, AB]."""
+    C = nz * nyl * nxl
+    F1 = nz * Av + 4 * Ah
+    m5 = minis.reshape(nz, nyl, nxl, chb, F1)
+    mv = m5[..., :nz * Av].reshape(nz, nyl, nxl, chb, nz, Av)
+    arr_v = jnp.moveaxis(mv, 4, 0)                  # [kd, ks, ny, nx, c, Av]
+    arr_v = jnp.moveaxis(arr_v, 1, 4)               # [kd, ny, nx, c, ks, Av]
+    arr_v = arr_v.reshape(nz, nyl, nxl, chb, nz * Av)
+    mh = m5[..., nz * Av:].reshape(nz, nyl, nxl, chb, 4, Ah)
+    # W-movers of column i arrive in column i-1, etc.; under open BCs the
+    # edge movers were already dropped, so the wrapped rows are zero.  On a
+    # device mesh roll patches the wrapped column with the neighbor shard's
+    # edge buffer over ICI (transport_step_sharded).
+    arr_w = roll(mh[..., 0, :], -1, 2)
+    arr_e = roll(mh[..., 1, :], 1, 2)
+    arr_s = roll(mh[..., 2, :], -1, 1)
+    arr_n = roll(mh[..., 3, :], 1, 1)
+    arr = jnp.concatenate([arr_v, arr_w, arr_e, arr_s, arr_n], axis=-1)
+    return arr.reshape(C, chb, F1)
+
+
 def rebucket(aero: AeroState, dest_k, dj, di, horizontal, drop, acc,
-             grid: Grid, cfg: Config, key, roll_fn=None):
+             grid: Grid, cfg: Config, key, roll_fn=None, ch_block: int = 8):
     """Move particles to their sampled destination cells.
 
     dest_k/dj/di/horizontal: per-particle move sample ([nz, ny, nx, P]);
@@ -399,6 +424,16 @@ def rebucket(aero: AeroState, dest_k, dj, di, horizontal, drop, acc,
     the horizontal wrap (sharded edge exchange).  Cell dims come from the
     (possibly shard-local) aero arrays, not the global grid.
 
+    Two-phase memory-bounded design: phase 1 computes every index map and
+    conservation factor on [C, P]-sized arrays ONLY (a fori loop over the
+    nz+4 destination classes replaces the r3 [.., D, P] one-hot cumsum, and
+    the num channel alone flows through T1+reorder to fix the arrival
+    thinning/placement); phase 2 moves the full payload through
+    T1 -> reorder -> T2 in ``ch_block``-channel slabs under ``lax.map``, so
+    peak HBM for the mover buffers is ~(ch_block/CH) of the monolithic form
+    — this is what lets the per-level mover caps scale as 2P/nz (ADVICE r3)
+    and tall CARES-shaped domains fit one chip.
+
     Returns (new_aero, diag) with overflow counters.
     """
     from ...models.partmc.aero_state import pack_payload, unpack_payload
@@ -408,7 +443,8 @@ def rebucket(aero: AeroState, dest_k, dj, di, horizontal, drop, acc,
     C = nz * nyl * nxl
     Av, Ah = _caps(cfg, P, nz)
     F1 = nz * Av + 4 * Ah          # per-cell mover-region width
-    AB = nz * Av + 4 * Ah          # per-cell arrival-buffer width
+    AB = F1                        # per-cell arrival-buffer width
+    D = nz + 4
 
     kk = lax.broadcasted_iota(jnp.int32, aero.num.shape, 0)
     alive = aero.alive & ~drop
@@ -418,88 +454,63 @@ def rebucket(aero: AeroState, dest_k, dj, di, horizontal, drop, acc,
     hdir = jnp.where(di < 0, 0, jnp.where(di > 0, 1,
                      jnp.where(dj < 0, 2, 3)))
     dcode = jnp.where(vert, dest_k, jnp.where(horizontal, nz + hdir, -1))
-    dcode = jnp.where(alive, dcode, -1)
+    dcode = jnp.where(alive, dcode, -1).reshape(C, P)
     mover = dcode >= 0
-    D = nz + 4
+    num_flat = aero.num.reshape(C, P)
 
-    # rank of each mover within its (cell, class): positional cumsum.
-    # TPU layout note: one-hots live as [..., D, P] (P on lanes) — the
-    # [..., P, D] orientation pads D=14 up to 128 lanes (9x memory) and
-    # makes the rank cumsum non-minor; this layout fix alone is worth
-    # ~15% of the coupled step.
-    d_iota = jnp.arange(D, dtype=jnp.int32).reshape(-1, 1)
-    ohT = (dcode[..., None, :] == d_iota)                  # [nz,ny,nx,D,P]
-    ohTf = ohT.astype(jnp.float32)
-    csum = jnp.cumsum(ohTf, axis=-1)
-    rank = jnp.sum(ohTf * (csum - 1.0), axis=-2).astype(jnp.int32)
-    cnt = csum[..., -1]                                    # [nz,ny,nx,D]
+    # ---- phase 1a: per-destination-class ranks, caps, overflow rescale —
+    # one [C, P] pass per class (memory-flat in D, unlike an [.., D, P]
+    # one-hot)
+    def dbody(d, carry):
+        dst1, shipped, scale_p, ovf = carry
+        cap_d = jnp.where(d < nz, Av, Ah)
+        base_d = jnp.where(d < nz, d * Av, nz * Av + (d - nz) * Ah)
+        mask = dcode == d
+        m_f = mask.astype(jnp.float32)
+        rank_d = (jnp.cumsum(m_f, axis=-1) - 1.0).astype(jnp.int32)
+        ship_d = mask & (rank_d < cap_d)
+        num_tot = jnp.sum(m_f * num_flat, axis=-1)
+        num_shp = jnp.sum(jnp.where(ship_d, num_flat, 0.0), axis=-1)
+        sc_d = jnp.where(num_shp > 0.0,
+                         num_tot / jnp.maximum(num_shp, 1e-300), 1.0)
+        cnt_d = jnp.sum(m_f, axis=-1)
+        ovf = ovf + jnp.sum(jnp.maximum(cnt_d - cap_d, 0.0))
+        dst1 = jnp.where(ship_d, base_d + rank_d, dst1)
+        shipped = shipped | ship_d
+        scale_p = jnp.where(ship_d, sc_d[:, None], scale_p)
+        return dst1, shipped, scale_p, ovf
 
-    cap_d = jnp.concatenate([jnp.full((nz,), Av, jnp.int32),
-                             jnp.full((4,), Ah, jnp.int32)])
-    base_d = jnp.concatenate([
-        jnp.arange(nz, dtype=jnp.int32) * Av,
-        nz * Av + jnp.arange(4, dtype=jnp.int32) * Ah])
-    cap_p = jnp.einsum("d,...dp->...p", cap_d.astype(jnp.float32), ohTf
-                       ).astype(jnp.int32)
-    base_p = jnp.einsum("d,...dp->...p", base_d.astype(jnp.float32), ohTf
-                        ).astype(jnp.int32)
-    shipped = mover & (rank < cap_p)
+    dst1, shipped, scale_p, ovf_class = lax.fori_loop(
+        0, D, dbody,
+        (jnp.full((C, P), -1, jnp.int32), jnp.zeros((C, P), bool),
+         jnp.ones((C, P), jnp.float32), jnp.zeros((), jnp.float32)))
 
-    # class-overflow conservation: rescale shipped movers of each (cell,
-    # class) to carry the full departing represented number
-    num_d = jnp.einsum("...p,...dp->...d", aero.num, ohTf)
-    ship_oh = ohTf * shipped[..., None, :]
-    num_ship = jnp.einsum("...p,...dp->...d", aero.num, ship_oh)
-    scale_d = jnp.where(num_ship > 0, num_d / jnp.maximum(num_ship, 1e-300),
-                        1.0)
-    scale_p = jnp.einsum("...d,...dp->...p", scale_d, ship_oh)
-    num_mv = jnp.where(shipped, aero.num * jnp.maximum(scale_p, 1.0), 0.0)
-    ovf_class = jnp.sum(jnp.maximum(cnt - cap_d.astype(jnp.float32), 0.0))
+    # class-overflow conservation: shipped movers of each (cell, class)
+    # carry the full departing represented number
+    num_all = jnp.where(shipped, num_flat * jnp.maximum(scale_p, 1.0),
+                        num_flat)
 
-    # T1: extract shipped movers into per-cell per-class mini-regions.
-    # ONE payload serves both mover extraction and the stayer merge: movers
-    # carry the overflow-rescaled num (only they are selected by dst1),
-    # stayers their unchanged num (only they survive the stay mask below).
-    num_all = jnp.where(shipped, num_mv, aero.num).reshape(C, P)
-    payload = pack_payload(aero)                           # [C, CH, P]
-    CH = payload.shape[1]
-    payload = payload.at[:, 0, :].set(num_all)
-    dst1 = jnp.where(shipped, base_p + rank, -1)
-    minis = scatter_rows(payload, dst1.reshape(C, P), F1)  # [C, CH, F1]
-
-    # cross-cell reorder by pure reshapes/transposes/rolls
-    m5 = minis.reshape(nz, nyl, nxl, CH, F1)
-    mv = m5[..., :nz * Av].reshape(nz, nyl, nxl, CH, nz, Av)
-    arr_v = jnp.moveaxis(mv, 4, 0)                         # [kd, ks, ny, nx, CH, Av]
-    arr_v = jnp.moveaxis(arr_v, 1, 4)                      # [kd, ny, nx, CH, ks, Av]
-    arr_v = arr_v.reshape(nz, nyl, nxl, CH, nz * Av)
-    mh = m5[..., nz * Av:].reshape(nz, nyl, nxl, CH, 4, Ah)
-    # W-movers of column i arrive in column i-1, etc.; under open BCs the
-    # edge movers were already dropped, so the wrapped rows are zero.  On a
-    # device mesh roll_fn patches the wrapped column with the neighbor
-    # shard's edge buffer over ICI (transport_step_sharded).
+    # ---- phase 1b: the num channel flows T1 -> reorder once, fixing the
+    # arrival thinning, placement ranks and conservation factors that every
+    # other channel then reuses
     roll = roll_fn or (lambda slab, shift, axis: jnp.roll(slab, shift, axis))
-    arr_w = roll(mh[..., 0, :], -1, 2)
-    arr_e = roll(mh[..., 1, :], 1, 2)
-    arr_s = roll(mh[..., 2, :], -1, 1)
-    arr_n = roll(mh[..., 3, :], 1, 1)
-    arr = jnp.concatenate([arr_v, arr_w, arr_e, arr_s, arr_n], axis=-1)
-    arr = arr.reshape(C, CH, AB)
+    num_src = jnp.where(shipped, num_all, 0.0)
+    minis_n = scatter_rows(num_src[:, None, :], dst1, F1)  # [C, 1, F1]
+    a_num = _reorder_minis(minis_n, nz, nyl, nxl, 1, Av, Ah, roll)[:, 0, :]
 
     # destination-side preweight thinning of arrivals (equivalent to the
     # reference's source-side weight-ratio thinning — the Bernoulli draw is
     # independent of the move)
     u = jax.random.uniform(key, (C, AB))
     acc_c = acc.reshape(C, 1)
-    a_num = arr[:, 0, :]
     keep = (u < acc_c) & (a_num > 0.0)
-    arr = arr.at[:, 0, :].set(
-        jnp.where(keep, a_num / jnp.maximum(acc_c, 1e-6), 0.0))
+    a_num = jnp.where(keep, a_num / jnp.maximum(acc_c, 1e-6), 0.0)
 
-    # T2: place arrivals into free slots of the destination cell
-    a_alive = arr[:, 0, :] > 0.0
+    # T2 placement maps: arrivals fill the free slots of their destination
+    a_alive = a_num > 0.0
     a_rank = jnp.cumsum(a_alive.astype(jnp.int32), axis=-1) - 1
-    stay_keep = (aero.alive & ~drop & ~mover).reshape(C, P)
+    stay_keep = (aero.alive & ~drop & ~mover.reshape(aero.num.shape)
+                 ).reshape(C, P)
     free = ~stay_keep
     n_free = jnp.sum(free, axis=-1)
     f_rank = jnp.cumsum(free.astype(jnp.int32), axis=-1) - 1
@@ -509,30 +520,51 @@ def rebucket(aero: AeroState, dest_k, dj, di, horizontal, drop, acc,
     dstf = jnp.where(free & (f_rank < AB), f_rank, -1)
     slot_of_rank = scatter_rows(slot1, dstf, AB)           # [C, 1, AB]
     placed = a_alive & (a_rank < n_free[:, None])
-    tot_arr = jnp.sum(arr[:, 0, :], axis=-1)
+    tot_arr = jnp.sum(a_num, axis=-1)
     ovf_free = jnp.sum(jnp.where(a_alive & ~placed, 1.0, 0.0))
-
     srcr = jnp.where(placed, a_rank, -1)
     dst_slot = jnp.round(gather_rows(slot_of_rank, srcr)[:, 0, :]
                          ).astype(jnp.int32) - 1           # [C, AB]
-    arrived = scatter_rows(arr, dst_slot, P)               # [C, CH, P]
 
-    # merge: stayers keep their slots; arrivals land in (disjoint) free
-    # slots (mask multiply fuses into the add — no stay_pl buffer)
-    merged = arrived + payload * stay_keep[:, None, :]
-    # free-slot overflow conservation: arrival number that could not be
-    # placed (cell saturated with stayers) is folded onto the whole cell by
-    # a multiplicity rescale — the bucket-level conservation the reference's
-    # weight rescale provides under convergent flow
-    # (``wrf_pmc_trans_aero.F90:1374-1402``)
-    stay_num = jnp.sum(jnp.where(stay_keep, payload[:, 0, :], 0.0),
-                       axis=-1)
-    actual = jnp.sum(merged[:, 0, :], axis=-1)
+    # merged num + the free-slot overflow conservation fold: arrival number
+    # that could not be placed (cell saturated with stayers) is folded onto
+    # the whole cell by a multiplicity rescale — the bucket-level
+    # conservation the reference's weight rescale provides under convergent
+    # flow (``wrf_pmc_trans_aero.F90:1374-1402``)
+    arrived_n = scatter_rows(a_num[:, None, :], dst_slot, P)[:, 0, :]
+    merged_num = arrived_n + num_all * stay_keep
+    stay_num = jnp.sum(jnp.where(stay_keep, num_all, 0.0), axis=-1)
+    actual = jnp.sum(merged_num, axis=-1)
     scale_cell = jnp.where(actual > 0,
                            (stay_num + tot_arr) / jnp.maximum(actual, 1e-300),
                            1.0)
-    merged = merged.at[:, 0, :].multiply(
-        jnp.maximum(scale_cell, 1.0)[:, None])
+    merged_num = merged_num * jnp.maximum(scale_cell, 1.0)[:, None]
+
+    # ---- phase 2: remaining channels in ch_block slabs (sequential under
+    # lax.map -> peak mover-buffer memory is one slab)
+    payload = pack_payload(aero)                           # [C, CH, P]
+    CH = payload.shape[1]
+    rest = payload[:, 1:, :]                               # non-num channels
+    n_rest = CH - 1
+    n_blk = -(-n_rest // ch_block)
+    pad = n_blk * ch_block - n_rest
+    rest = jnp.pad(rest, ((0, 0), (0, pad), (0, 0)))
+    blocks = jnp.moveaxis(rest.reshape(C, n_blk, ch_block, P), 1, 0)
+
+    mover_mask = shipped                                   # only they ship
+
+    def move_block(pb):
+        src = jnp.where(mover_mask[:, None, :], pb, 0.0)
+        minis_b = scatter_rows(src, dst1, F1)
+        arr_b = _reorder_minis(minis_b, nz, nyl, nxl, ch_block, Av, Ah,
+                               roll)
+        arrived_b = scatter_rows(arr_b, dst_slot, P)
+        return arrived_b + pb * stay_keep[:, None, :]
+
+    merged_rest = lax.map(move_block, blocks)
+    merged_rest = jnp.moveaxis(merged_rest, 0, 1).reshape(C, n_blk * ch_block,
+                                                          P)[:, :n_rest]
+    merged = jnp.concatenate([merged_num[:, None, :], merged_rest], axis=1)
     new = unpack_payload(aero, merged)
     diag = {"overflow_class": ovf_class, "overflow_free": ovf_free,
             "movers": jnp.sum(mover.astype(jnp.float32))}

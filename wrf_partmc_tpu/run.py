@@ -130,8 +130,13 @@ def run(cfg: Config, case: str, outdir: str, seed: int = 0,
 
     # scenario passed as a jit ARGUMENT (static shapes, no retrace) so the
     # host can swap BC time slabs, mirroring the reference's BC time-index
-    # change trigger (wrf_pmc_trans_aero.F90:824-838)
-    step1 = jax.jit(lambda c, s: coupled_step(c, grid, cfg, ad, gd, s, exch, key))
+    # change trigger (wrf_pmc_trans_aero.F90:824-838).  The per-step
+    # transport saturation counters come back as a separate output and are
+    # accumulated host-side (kept out of the carried state).
+    step1 = jax.jit(lambda c, s: coupled_step(c, grid, cfg, ad, gd, s, exch,
+                                              key, diag_out=True))
+    tdiag_acc = {k: 0.0 for k in ("overflow_class", "overflow_free",
+                                  "movers")}
 
     n_hist = 0
     while not clock.done():
@@ -148,7 +153,10 @@ def run(cfg: Config, case: str, outdir: str, seed: int = 0,
         if clock.ringing("history"):
             with timers.section("history_write"):
                 write_history(os.path.join(outdir, f"wrfout_{clock.step:06d}.nc"),
-                              cs, grid, cfg, diag, writer=quilt)
+                              cs, grid, cfg, diag, writer=quilt,
+                              trans_diag=(tdiag_acc
+                                          if cfg.partmc.do_transport
+                                          else None))
                 write_particle_netcdf(
                     os.path.join(outdir, f"partmc_{clock.step:06d}.nc"),
                     cs, ad, grid, with_optics=cfg.partmc.do_optical,
@@ -167,7 +175,10 @@ def run(cfg: Config, case: str, outdir: str, seed: int = 0,
                         os.path.join(outdir, f"restart_{clock.step:06d}.npz"),
                         cs, writer=quilt)
         with timers.section("coupled_step"):
-            cs = jax.block_until_ready(step1(cs, scn))
+            cs, step_td = step1(cs, scn)
+            cs = jax.block_until_ready(cs)
+            for k_ in tdiag_acc:
+                tdiag_acc[k_] += float(step_td[k_])
         clock.advance()
         if verbose and clock.step % 50 == 0:
             print(f"step {clock.step}  t={clock.t:.0f}s  maxrss={memtrack_mb():.0f} MB")

@@ -54,9 +54,11 @@ class _NcOut:
 
 
 def write_history(path: str, cs: CoupledState, grid, cfg, diag=None,
-                  writer=None) -> None:
+                  writer=None, trans_diag=None) -> None:
     """WRF-style history file: prognostic fields + PartMC gridded
     diagnostics when provided (med_before_solve_io / partmc_process).
+    ``trans_diag``: host-accumulated transport saturation counters
+    (overflow_class / overflow_free / movers) written as trans_* scalars.
     With ``writer`` the encoded file goes through the async quilt pool."""
     out = _NcOut(path, writer)
     f = out.f
@@ -84,10 +86,10 @@ def write_history(path: str, cs: CoupledState, grid, cfg, diag=None,
     if cs.removals is not None:
         for cause, arr in sorted(cs.removals.items()):
             var(f"removed_num_{cause}", ("z", "y", "x"), arr)
-    if getattr(cs, "trans_diag", None) is not None:
+    if trans_diag is not None:
         # cumulative rebucket saturation counters: a production run can see
         # how often the number-conserving overflow paths fired
-        for name, val in sorted(cs.trans_diag.items()):
+        for name, val in sorted(trans_diag.items()):
             f.createVariable(f"trans_{name}", "f", ())[...] = float(
                 np.asarray(val))
     if diag is not None:
