@@ -100,6 +100,7 @@ def test_grell_ensemble_members_differ_and_average():
     assert abs(float(rain1.mean()) - float(rain3.mean())) > 1e-9
 
 
+@pytest.mark.slow
 def test_grell_in_coupled_step():
     """cu_physics=5 dispatches through coupled_step (CARES d01 cumulus
     slot) with finite fields."""

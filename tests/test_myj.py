@@ -144,6 +144,7 @@ def test_gabls_stable_column_myj_vs_ysu():
         float(np.asarray(k_ysu)[aloft].mean())
 
 
+@pytest.mark.slow
 def test_cares_pbl_options_validate_and_run_coupled():
     """The CARES d01 surface/PBL options (sf_sfclay_physics=2,
     bl_pbl_physics=2, namelist.input.cares:81,83) validate and run through

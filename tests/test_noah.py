@@ -125,6 +125,7 @@ def test_noah_moisture_stress_reduces_evaporation():
     assert float(fd["hfx"].mean()) > float(fw["hfx"].mean())
 
 
+@pytest.mark.slow
 def test_noah_in_coupled_step():
     """sf_surface_physics=2 + bl=2 + ra=4 (the CARES d02 combination)
     validates and runs through coupled_step; the soil state evolves."""

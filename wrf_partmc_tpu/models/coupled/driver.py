@@ -34,7 +34,7 @@ from ..dycore.state import DycoreState, base_profiles, temperature, total_pressu
 from ..partmc.aero_data import AeroData
 from ..partmc.aero_state import AeroState, rebalance, zero_state
 from ..partmc.coag import KERNEL_BROWN, coag_step
-from ..partmc.condense import equilib_water
+from ..partmc.condense import equilib_water, equilib_water_hyst
 from ..partmc.deposition import aerodynamic_resistance, deposition_velocity
 from ..partmc.env_state import EnvState
 from ..partmc.gas_data import GasData
@@ -239,7 +239,9 @@ def microphysics_step(aero: AeroState, gas, env: EnvState, aero_data: AeroData,
 
             aero, _s = condense_dynamic(aero, aero_data, env, dt_chem)
         else:
-            aero = equilib_water(aero, aero_data, env)
+            # hysteresis-aware MESA water path: per-particle leg persists
+            # through transport/coag/restart (wrf_pmc_init.F90:1111-1272)
+            aero = equilib_water_hyst(aero, aero_data, env)
     return aero, gas, coag_removed
 
 

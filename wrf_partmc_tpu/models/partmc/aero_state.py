@@ -53,6 +53,12 @@ class AeroState:
     # growth is unattributed (components track emitted/primary volume).
     src_id: jax.Array     # [..., K, P] int32 source index, -1 = empty slot
     src_vol: jax.Array    # [..., K, P] f32 attributed primary volume [m3]
+    # MESA water-hysteresis leg (0 = effloresced/lower branch, 1 =
+    # deliquesced/upper branch), persisted per particle through transport,
+    # coagulation and restart like the reference's per-particle hysteresis
+    # state (``wrf_pmc_init.F90:1111-1272``).  Fresh particles start on the
+    # upper leg; :func:`~.condense.equilib_water_hyst` owns the transitions.
+    hyst_leg: jax.Array   # [..., P] int32 in {0, 1}
 
     @property
     def capacity(self) -> int:
@@ -121,12 +127,13 @@ def zero_state(aero_data: AeroData, capacity: int, cell_shape=(),
         next_id=jnp.zeros(cell_shape, jnp.int32),
         src_id=jnp.full((*cell_shape, n_src_comp, capacity), -1, jnp.int32),
         src_vol=jnp.zeros((*cell_shape, n_src_comp, capacity), jnp.float32),
+        hyst_leg=jnp.ones((*cell_shape, capacity), jnp.int32),
     )
 
 
 def payload_channels(state: AeroState) -> int:
     """Channel count of the packed per-particle payload."""
-    return 6 + state.vol.shape[-2] + 2 * state.n_src_comp
+    return 7 + state.vol.shape[-2] + 2 * state.n_src_comp
 
 
 # Particle ids are split into two f32-value channels so they survive the
@@ -144,7 +151,9 @@ def pack_payload(state: AeroState):
     bitcasts.
 
     Channel layout: [num, t_create, pid_lo, pid_hi, source, w_class,
-    vol(S), src_vol(K), src_id(K)]."""
+    vol(S), src_vol(K), src_id(K), hyst_leg].  hyst_leg rides last so the
+    coagulation payload slices (``coag.py`` 6:6+S etc.) keep their offsets;
+    the merged particle inherits the surviving (small-side) row's leg."""
     f = lambda a: a.astype(jnp.float32)
     parts = [state.num, state.t_create,
              f(state.pid % _PID_SPLIT), f(state.pid // _PID_SPLIT),
@@ -152,6 +161,7 @@ def pack_payload(state: AeroState):
     parts += [state.vol[..., s, :] for s in range(state.vol.shape[-2])]
     parts += [state.src_vol[..., k, :] for k in range(state.n_src_comp)]
     parts += [f(state.src_id[..., k, :]) for k in range(state.n_src_comp)]
+    parts.append(f(state.hyst_leg))
     payload = jnp.stack(parts, axis=-2)            # [*cell, CH, P]
     return payload.reshape(-1, payload_channels(state), state.capacity)
 
@@ -180,7 +190,8 @@ def unpack_payload(state: AeroState, payload) -> AeroState:
         src_vol=jnp.where(dead[..., None, :], 0.0,
                           p[..., 6 + S:6 + S + K, :]),
         src_id=jnp.where(dead[..., None, :], -1,
-                         ii(p[..., 6 + S + K:6 + S + 2 * K, :])))
+                         ii(p[..., 6 + S + K:6 + S + 2 * K, :])),
+        hyst_leg=jnp.where(dead, 1, ii(p[..., 6 + S + 2 * K, :])))
 
 
 def permute_slots(state: AeroState, dst) -> AeroState:
@@ -242,7 +253,8 @@ def fill_fresh(aero_data: AeroData, capacity: int, new_vol, new_num,
         t_create=jnp.full((*cs, P), jnp.float32(time)),
         next_id=jnp.full(cs, E, jnp.int32),
         src_id=jnp.where(dead[..., None, :], -1, si),
-        src_vol=jnp.where(dead[..., None, :], 0.0, sv))
+        src_vol=jnp.where(dead[..., None, :], 0.0, sv),
+        hyst_leg=jnp.ones((*cs, P), jnp.int32))
 
 
 def add_particles(state: AeroState, new_vol, new_num, new_source, new_w_class,
@@ -313,10 +325,12 @@ def add_particles(state: AeroState, new_vol, new_num, new_source, new_w_class,
     src_vol = jnp.where(inc_k, svN, state.src_vol)
     src_vol = jnp.where((incoming & ~live_in)[..., None, :], 0.0, src_vol)
     src_id = jnp.where(inc_k, jnp.round(siN).astype(jnp.int32), state.src_id)
+    hyst = jnp.where(incoming, 1, state.hyst_leg)
     return dataclasses.replace(
         state, vol=vol, num=jnp.where(incoming & ~live_in, 0.0, num),
         pid=pid, source=src, w_class=wcl, t_create=tcr,
-        next_id=state.next_id + E, src_vol=src_vol, src_id=src_id)
+        next_id=state.next_id + E, src_vol=src_vol, src_id=src_id,
+        hyst_leg=hyst)
 
 
 def _add_particles_large(state: AeroState, new_vol, new_num, new_source,
@@ -367,6 +381,7 @@ def _add_particles_large(state: AeroState, new_vol, new_num, new_source,
               for s in range(S)]
     parts += [f(tot_v)] + [jnp.zeros((C, E), jnp.float32)] * (K - 1)
     parts += [f(new_source)] + [jnp.full((C, E), -1.0)] * (K - 1)
+    parts.append(jnp.ones((C, E), jnp.float32))            # hyst_leg (fresh=1)
     parts.append(jnp.ones((C, E), jnp.float32))            # indicator
     rows = jnp.stack(parts, axis=1)                        # [C, CH+1, E]
     placed_rows = scatter_rows(rows, dst_slot, P)          # [C, CH+1, P]
@@ -445,6 +460,7 @@ def split_largest(state: AeroState) -> AeroState:
         vol=merge(state.vol, copied.vol),
         src_vol=merge(state.src_vol, copied.src_vol),
         src_id=merge(state.src_id, copied.src_id),
+        hyst_leg=merge(state.hyst_leg, copied.hyst_leg),
         next_id=state.next_id + jnp.where(can, n0, 0))
 
 

@@ -87,6 +87,10 @@ def equilib_water(state: AeroState, aero_data: AeroData, env: EnvState,
     """
     d_dry = jnp.maximum(state.dry_diameter(aero_data), 1e-10)
     kap = solute_kappa(state.vol, aero_data)
+    return _set_equilib_water(state, aero_data, env, d_dry, kap, n_iter)
+
+
+def _set_equilib_water(state, aero_data, env, d_dry, kap, n_iter):
     rh = jnp.clip(jnp.asarray(env.rel_humid)[..., None], 1e-4, 0.99)
     A = jnp.asarray(env.kelvin_A)[..., None]
 
@@ -100,6 +104,70 @@ def equilib_water(state: AeroState, aero_data: AeroData, env: EnvState,
     v_water = jnp.where(state.alive, jnp.maximum(v_wet - v_dry, 0.0), 0.0)
     vol = state.vol.at[..., aero_data.i_water, :].set(v_water)
     return dataclasses.replace(state, vol=vol)
+
+
+# Deliquescence / crystallization RH per electrolyte-forming species
+# (mutual DRH/CRH of the dominant MOSAIC salts: (NH4)2SO4 0.80/0.35,
+# NH4NO3 0.618/0.25, NaCl 0.753/0.45; Tang & Munkelwitz 1994, Zaveri et
+# al. 2008 MOSAIC).  Non-electrolyte species carry 0 weight.
+_HYST_SPECIES = {
+    "SO4": (0.80, 0.35), "NH4": (0.80, 0.35),
+    "NO3": (0.618, 0.25),
+    "Cl": (0.753, 0.45), "Na": (0.753, 0.45),
+    "CO3": (0.80, 0.35), "Ca": (0.80, 0.35), "MSA": (0.80, 0.35),
+}
+
+
+def particle_drh_crh(state: AeroState, aero_data: AeroData):
+    """Per-particle mixture deliquescence/crystallization RH and electrolyte
+    dry-volume fraction: electrolyte-volume-weighted means of the salt-class
+    DRH/CRH (the MESA mixture rule compressed to the fixed species set)."""
+    drh_s = jnp.asarray([_HYST_SPECIES.get(n, (0.0, 0.0))[0]
+                         for n in aero_data.names], jnp.float32)
+    crh_s = jnp.asarray([_HYST_SPECIES.get(n, (0.0, 0.0))[1]
+                         for n in aero_data.names], jnp.float32)
+    is_el = (drh_s > 0.0).astype(jnp.float32)
+    dry = aero_data.dry_mask[..., :, None]
+    v_el = jnp.sum(state.vol * dry * is_el[..., :, None], axis=-2)
+    v_dry = jnp.maximum(
+        jnp.sum(state.vol * dry, axis=-2), 1e-300)
+    drh = jnp.sum(state.vol * dry * (drh_s * is_el)[..., :, None],
+                  axis=-2) / jnp.maximum(v_el, 1e-300)
+    crh = jnp.sum(state.vol * dry * (crh_s * is_el)[..., :, None],
+                  axis=-2) / jnp.maximum(v_el, 1e-300)
+    return drh, crh, v_el / v_dry
+
+
+def equilib_water_hyst(state: AeroState, aero_data: AeroData, env: EnvState,
+                       n_iter: int = 20) -> AeroState:
+    """Hysteresis-aware equilibrium water (the MESA water path the reference
+    persists per particle, ``wrf_pmc_init.F90:1111-1272``).
+
+    Leg transitions: RH rising past the mixture DRH deliquesces the
+    electrolyte (leg -> 1); RH falling below the mixture CRH effloresces it
+    (leg -> 0); in between the particle stays on its current branch.  On the
+    lower branch the electrolyte fraction is solid and contributes no
+    hygroscopicity — only the non-electrolyte (organic) fraction takes
+    water.  Particles with a negligible electrolyte fraction have no
+    hysteresis (continuous kappa-Koehler uptake, leg pinned to 1)."""
+    d_dry = jnp.maximum(state.dry_diameter(aero_data), 1e-10)
+    kap = solute_kappa(state.vol, aero_data)
+    drh, crh, el_frac = particle_drh_crh(state, aero_data)
+    rh = jnp.asarray(env.rel_humid)[..., None]
+    has_hyst = el_frac > 1e-6
+    leg = jnp.where(rh >= drh, 1, jnp.where(rh <= crh, 0, state.hyst_leg))
+    leg = jnp.where(has_hyst, leg, 1).astype(jnp.int32)
+    # effloresced: electrolyte kappa suppressed, organics still hygroscopic
+    dry = aero_data.dry_mask[..., :, None]
+    is_el = jnp.asarray([1.0 if n in _HYST_SPECIES else 0.0
+                         for n in aero_data.names], jnp.float32)
+    v_dry_s = state.vol * dry
+    kv_org = jnp.sum(v_dry_s * (aero_data.kappa * (1.0 - is_el))[..., :, None],
+                     axis=-2)
+    kap_org = kv_org / jnp.maximum(jnp.sum(v_dry_s, axis=-2), 1e-300)
+    kap_eff = jnp.where(leg == 1, kap, kap_org)
+    out = _set_equilib_water(state, aero_data, env, d_dry, kap_eff, n_iter)
+    return dataclasses.replace(out, hyst_leg=leg)
 
 
 def _growth_coefficient(diam, temp, pressure):

@@ -36,6 +36,7 @@ class AeroDiagnostics:
     chi: jax.Array           # [...] mixing-state index [0-1]
     d_alpha: jax.Array       # [...] avg particle species diversity
     d_gamma: jax.Array       # [...] bulk species diversity
+    chi_sub: jax.Array       # [...] chi of the submicron (D_dry <= 1 um) cut
     ccn: jax.Array           # [..., K] CCN conc at the supersat levels
     pm1: jax.Array           # [...] [kg m-3]
     pm25: jax.Array
@@ -54,13 +55,15 @@ class AeroDiagnostics:
 
 
 def mixing_state_metrics(state: AeroState, aero_data: AeroData,
-                         group_masks=None):
+                         group_masks=None, particle_mask=None):
     """chi, D_alpha, D_gamma after Riemer & West (2013, ACP 13:11423) —
     reference implementation at ``wrf_pmc_driver.F90:941-1041``.
 
     Uses dry per-species masses.  ``group_masks`` ([G, S] 0/1) optionally
     aggregates species into surrogate groups before computing diversities
     (the reference's "grouped" variants); default is per-species.
+    ``particle_mask`` ([..., P] 0/1) optionally restricts the population —
+    the reference's size-cut variants (submicron chi, ``:941-1041``).
     """
     rho = aero_data.density[..., :, None]
     dry = aero_data.dry_mask[..., :, None]
@@ -68,6 +71,9 @@ def mixing_state_metrics(state: AeroState, aero_data: AeroData,
     if group_masks is not None:
         mass_sp = jnp.einsum("gs,...sp->...gp", jnp.asarray(group_masks, mass_sp.dtype),
                              mass_sp)
+    if particle_mask is not None:
+        state = dataclasses.replace(
+            state, num=state.num * jnp.asarray(particle_mask, state.num.dtype))
     w = state.num[..., None, :]                              # [..., 1, P]
     mass_a = jnp.sum(mass_sp, axis=-2)                       # [..., P] per-particle
     mu_tot = jnp.sum(mass_a * state.num, axis=-1)            # [...] total mass
@@ -138,6 +144,8 @@ def process(state: AeroState, aero_data: AeroData, env: EnvState, bg: BinGrid,
                            state.vol * aero_data.density[..., :, None],
                            w_num)
     chi, d_alpha, d_gamma = mixing_state_metrics(state, aero_data)
+    chi_sub, _, _ = mixing_state_metrics(
+        state, aero_data, particle_mask=(d <= 1e-6) & state.alive)
     ss = jnp.asarray(supersats, jnp.float32)
     ccn = ccn_conc(state, aero_data, env, ss)
     if advanced:
@@ -153,7 +161,7 @@ def process(state: AeroState, aero_data: AeroData, env: EnvState, bg: BinGrid,
     return AeroDiagnostics(
         num_dist=num_dist, mass_dist=mass_dist, spec_mass=spec_mass,
         num_conc=state.num_conc(V), chi=chi, d_alpha=d_alpha, d_gamma=d_gamma,
-        ccn=ccn,
+        chi_sub=chi_sub, ccn=ccn,
         pm1=pm_mass(state, aero_data, 1e-6, V),
         pm25=pm_mass(state, aero_data, 2.5e-6, V),
         pm10=pm_mass(state, aero_data, 1e-5, V),

@@ -102,6 +102,7 @@ def write_history(path: str, cs: CoupledState, grid, cfg, diag=None,
         var("chi", ("z", "y", "x"), diag.chi)
         var("d_alpha", ("z", "y", "x"), diag.d_alpha)
         var("d_gamma", ("z", "y", "x"), diag.d_gamma)
+        var("chi_sub", ("z", "y", "x"), diag.chi_sub)
         var("ccn", ("z", "y", "x", "ccn_s"), diag.ccn)
         var("pm1", ("z", "y", "x"), diag.pm1)
         var("pm25", ("z", "y", "x"), diag.pm25)
@@ -186,6 +187,8 @@ def write_particle_netcdf(path: str, cs: CoupledState, aero_data, grid,
     var("aero_comp_source", ("z", "y", "x", "src_comp", "part"),
         np.asarray(a.src_id, np.int32), "i")
     var("aero_comp_vol", ("z", "y", "x", "src_comp", "part"), a.src_vol)
+    var("aero_water_hyst_leg", ("z", "y", "x", "part"),
+        np.asarray(a.hyst_leg, np.int32), "i")
     var("next_id", ("z", "y", "x"), np.asarray(a.next_id, np.int32), "i")
     var("gas_mixrat", ("z", "y", "x", "gas"), cs.gas)
     if with_optics:
@@ -233,6 +236,10 @@ def read_particle_netcdf(path: str, template, aero_data=None):
     t_create = g("aero_create_time")
     src_id = g("aero_comp_source")
     src_vol = g("aero_comp_vol")
+    hyst_leg = (g("aero_water_hyst_leg")
+                if "aero_water_hyst_leg" in f.variables
+                else np.ones_like(np.array(f.variables["aero_num"][:]),
+                                  np.int32))  # older files: upper leg
     next_id = g("next_id")
     gas = g("gas_mixrat")
     names_file = getattr(f, "aero_species", b"").decode().split(",")
@@ -262,6 +269,7 @@ def read_particle_netcdf(path: str, template, aero_data=None):
         source = np.take_along_axis(source, take, axis=-1)
         w_class = np.take_along_axis(w_class, take, axis=-1)
         t_create = np.take_along_axis(t_create, take, axis=-1)
+        hyst_leg = np.take_along_axis(hyst_leg, take, axis=-1)
         if P_f > P_t:
             kept = num.sum(axis=-1)
             scale = np.where(kept > 0, tot / np.maximum(kept, 1e-300), 1.0)
@@ -276,6 +284,7 @@ def read_particle_netcdf(path: str, template, aero_data=None):
             vol, num, pid = zpad(vol), zpad(num), zpad(pid)
             source, w_class, t_create = zpad(source), zpad(w_class), zpad(t_create)
             src_id, src_vol = zpad(src_id, -1), zpad(src_vol)
+            hyst_leg = zpad(hyst_leg, 1)
 
     K_t = a.n_src_comp
     K_f = src_id.shape[-2]
@@ -291,7 +300,7 @@ def read_particle_netcdf(path: str, template, aero_data=None):
     aero = _dc.replace(
         a, vol=f32(vol), num=f32(num), pid=i32(pid), source=i32(source),
         w_class=i32(w_class), t_create=f32(t_create), next_id=i32(next_id),
-        src_id=i32(src_id), src_vol=f32(src_vol))
+        src_id=i32(src_id), src_vol=f32(src_vol), hyst_leg=i32(hyst_leg))
     return aero, f32(gas)
 
 
