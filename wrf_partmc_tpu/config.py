@@ -148,6 +148,12 @@ class PartmcConfig:
     do_advanced_process: bool = True  # optical + internally-mixed
                                       # counterfactual diagnostics
                                       # (registry.partmc:23 equivalent)
+    record_aero_info: bool = False    # per-particle coagulation removal
+                                      # records (id, action=coag, other_id) —
+                                      # the aero_info_array equivalent,
+                                      # wrf_pmc_driver.F90:251; off by
+                                      # default (adds [cells, P/2] int
+                                      # outputs per chem step)
     do_condensation: bool = False  # water uptake each chem step
     condense_mode: str = "equilib" # "equilib" (condense_equilib_particles,
                                    # the coupled-model default,

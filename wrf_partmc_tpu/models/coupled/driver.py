@@ -206,6 +206,7 @@ def microphysics_step(aero: AeroState, gas, env: EnvState, aero_data: AeroData,
     dt_chem = pc.partmc_chem_dt
     k_coag, k_scn, k_ss = jax.random.split(key, 3)
     coag_removed = jnp.zeros(env.temp.shape, jnp.float32)
+    events = {}
     if pc.do_nucleation:
         from ..partmc.nucleate import nucleate_step
 
@@ -213,7 +214,13 @@ def microphysics_step(aero: AeroState, gas, env: EnvState, aero_data: AeroData,
                                   env.pressure, env.cell_volume, dt_chem)
     if pc.do_coagulation:
         _n0 = aero.total_num()
-        aero = coag_step(aero, aero_data, env, dt_chem, k_coag, kernel=KERNEL_BROWN)
+        if pc.record_aero_info:
+            # per-particle aero_info records (id, action=coag, other_id)
+            aero, events = coag_step(aero, aero_data, env, dt_chem, k_coag,
+                                     kernel=KERNEL_BROWN, return_events=True)
+        else:
+            aero = coag_step(aero, aero_data, env, dt_chem, k_coag,
+                             kernel=KERNEL_BROWN)
         coag_removed = jnp.maximum(_n0 - aero.total_num(), 0.0)
     if pc.do_mosaic:
         if pc.chem_mech == "simple" or gas_data.n_spec < 77:
@@ -242,7 +249,7 @@ def microphysics_step(aero: AeroState, gas, env: EnvState, aero_data: AeroData,
             # hysteresis-aware MESA water path: per-particle leg persists
             # through transport/coag/restart (wrf_pmc_init.F90:1111-1272)
             aero = equilib_water_hyst(aero, aero_data, env)
-    return aero, gas, coag_removed
+    return aero, gas, coag_removed, events
 
 
 def surface_deposition(aero: AeroState, env: EnvState, aero_data: AeroData,
@@ -401,6 +408,7 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
         record("dilution", _a0, aero)
     else:
         gas = update_gas_state(scn, gas, t, dt)
+    coag_events = {}
     if (pc.do_coagulation or pc.do_condensation
             or pc.do_nucleation or pc.do_mosaic):
         do_chem = (cs.step % m_chem) == 0
@@ -412,9 +420,15 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
                                      cfg, grid, dyn2, t,
                                      keys[rng.STREAM_COAG])
 
+        no_events = {}
+        if pc.record_aero_info and pc.do_coagulation:
+            n_pair = aero.capacity // 2
+            no_events = {k: jnp.full((*env.temp.shape, n_pair), -1, jnp.int32)
+                         for k in ("removed_id", "other_id")}
         _a0 = aero
-        aero, gas, coag_rem = lax.cond(
-            do_chem, micro, lambda ag: (ag[0], ag[1], zero3), (aero, gas))
+        aero, gas, coag_rem, coag_events = lax.cond(
+            do_chem, micro,
+            lambda ag: (ag[0], ag[1], zero3, no_events), (aero, gas))
         # attribute coag-specific losses separately from the rest of the
         # chem macro-step (nucleation/MOSAIC/condensation number changes)
         if rem is not None:
@@ -525,9 +539,13 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
                        land=land2, removals=rem, pbl_q2=q2_new)
     if diag_out:
         zero = jnp.zeros((), jnp.float32)
-        return out, (tdiag if tdiag is not None else
-                     {k: zero for k in ("overflow_class", "overflow_free",
-                                        "movers")})
+        dd = dict(tdiag if tdiag is not None else
+                  {k: zero for k in ("overflow_class", "overflow_free",
+                                     "movers")})
+        if coag_events:
+            dd["coag_removed_id"] = coag_events["removed_id"]
+            dd["coag_other_id"] = coag_events["other_id"]
+        return out, dd
     return out
 
 

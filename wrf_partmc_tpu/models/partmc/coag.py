@@ -101,7 +101,7 @@ def eval_kernel(kind: str, d1, d2, m1, m2, env: EnvState):
 
 
 def coag_step(state: AeroState, aero_data: AeroData, env: EnvState, dt, key,
-              kernel: str = KERNEL_BROWN) -> AeroState:
+              kernel: str = KERNEL_BROWN, return_events: bool = False):
     """One Monte Carlo coagulation step over every cell at once.
 
     Works on arbitrary cell batch shapes [...]; cost O(P) per cell
@@ -113,6 +113,13 @@ def coag_step(state: AeroState, aero_data: AeroData, env: EnvState, dt, key,
     pair's partners in adjacent slots; all pair math and the merged
     write-back are then pure elementwise ops on the even/odd slot halves.
     Slots are meaningless, so the permuted layout is simply kept.
+
+    ``return_events=True`` additionally returns the per-pair removal records
+    (the reference's ``aero_info_array`` with action=AERO_INFO_COAG,
+    ``wrf_pmc_driver.F90:251``): ``{"removed_id", "other_id"}`` of shape
+    [..., P//2] int32 with -1 marking pairs that produced no removal —
+    ``removed_id`` is the id of the computational particle whose multiplicity
+    reached zero, ``other_id`` its surviving coagulation partner.
     """
     from ..partmc.aero_state import pack_payload, unpack_payload
     from ...ops.place import gather_rows
@@ -232,5 +239,15 @@ def coag_step(state: AeroState, aero_data: AeroData, env: EnvState, dt, key,
     prim = jnp.round(jnp.einsum("...kp,...pk->...p",
                                 st.src_id.astype(jnp.float32), ohp)
                      ).astype(jnp.int32)
-    return dataclasses.replace(
+    out_state = dataclasses.replace(
         st, source=jnp.where((prim >= 0) & st.alive, prim, st.source))
+    if not return_events:
+        return out_state
+    from ..partmc.aero_state import _PID_SPLIT
+
+    pid_of = lambda r: (jnp.round(r[..., 2, :]).astype(jnp.int32)
+                        + _PID_SPLIT * jnp.round(r[..., 3, :]).astype(jnp.int32))
+    removed = did & big_dead
+    events = {"removed_id": jnp.where(removed, pid_of(big), -1),
+              "other_id": jnp.where(removed, pid_of(sml), -1)}
+    return out_state, events

@@ -137,6 +137,10 @@ def run(cfg: Config, case: str, outdir: str, seed: int = 0,
                                               key, diag_out=True))
     tdiag_acc = {k: 0.0 for k in ("overflow_class", "overflow_free",
                                   "movers")}
+    # per-particle coagulation removal records (aero_info equivalent),
+    # compressed host-side to (step, cell, removed_id, other_id) rows and
+    # flushed to their own stream at each history alarm
+    aero_info_rows = []
 
     n_hist = 0
     while not clock.done():
@@ -161,6 +165,14 @@ def run(cfg: Config, case: str, outdir: str, seed: int = 0,
                     os.path.join(outdir, f"partmc_{clock.step:06d}.nc"),
                     cs, ad, grid, with_optics=cfg.partmc.do_optical,
                     writer=quilt)
+                if aero_info_rows:
+                    from .utils.io import write_aero_removed
+
+                    write_aero_removed(
+                        os.path.join(outdir,
+                                     f"aero_removed_{clock.step:06d}.nc"),
+                        aero_info_rows, writer=quilt)
+                    aero_info_rows = []
                 n_hist += 1
         if clock.step > 0 and clock.ringing("restart"):
             with timers.section("restart_write"):
@@ -179,6 +191,17 @@ def run(cfg: Config, case: str, outdir: str, seed: int = 0,
             cs = jax.block_until_ready(cs)
             for k_ in tdiag_acc:
                 tdiag_acc[k_] += float(step_td[k_])
+            if "coag_removed_id" in step_td:
+                import numpy as _np
+
+                rid = _np.asarray(step_td["coag_removed_id"])
+                oid = _np.asarray(step_td["coag_other_id"])
+                cell, pair = _np.nonzero(rid.reshape(-1, rid.shape[-1]) >= 0)
+                if cell.size:
+                    aero_info_rows.append(_np.stack(
+                        [_np.full(cell.size, clock.step), cell,
+                         rid.reshape(-1, rid.shape[-1])[cell, pair],
+                         oid.reshape(-1, oid.shape[-1])[cell, pair]], axis=1))
         clock.advance()
         if verbose and clock.step % 50 == 0:
             print(f"step {clock.step}  t={clock.t:.0f}s  maxrss={memtrack_mb():.0f} MB")

@@ -119,6 +119,27 @@ def write_history(path: str, cs: CoupledState, grid, cfg, diag=None,
 _PARTICLE_FIELDS = ("vol", "num", "pid", "source", "w_class", "t_create")
 
 
+def write_aero_removed(path: str, rows, writer=None) -> None:
+    """Per-particle removal-record stream (the reference's aero_removed
+    output of ``aero_info_array`` entries, action=AERO_INFO_COAG): each row
+    is (step, flat cell index, removed particle id, surviving partner id).
+
+    ``rows``: list of [n_i, 4] int arrays accumulated by the runner since
+    the last history alarm."""
+    all_rows = np.concatenate(rows, axis=0) if rows else np.zeros((0, 4), int)
+    out = _NcOut(path, writer)
+    f = out.f
+    f.createDimension("event", max(all_rows.shape[0], 1))
+    pad = np.full((max(all_rows.shape[0], 1), 4), -1, np.int32)
+    pad[:all_rows.shape[0]] = all_rows
+    for j, name in enumerate(("step", "cell", "removed_id", "other_id")):
+        v = f.createVariable(f"aero_removed_{name}", "i", ("event",))
+        v[:] = pad[:, j]
+    f.n_events = np.int32(all_rows.shape[0])
+    f.aero_removed_action = b"coag"
+    out.close()
+
+
 def write_restart(path: str, cs: CoupledState, writer=None) -> None:
     """Full coupled-model restart (Eulerian + exact particle state +
     ``next_id``, the two-part restart of SURVEY 5.4) as one npz.
