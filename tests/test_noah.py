@@ -33,7 +33,9 @@ def _diurnal(land, n_steps=576, dt=300.0, sw_peak=800.0, record=None):
         # column heat storage referenced to t_ref (so evaporative moisture
         # loss does not masquerade as heat-storage change)
         dzs = jnp.asarray(lsm.DZS).reshape(-1, 1, 1)
-        c_soil = ((1.0 - lsm.THETA_SAT) * lsm.C_SOIL_DRY
+        from wrf_partmc_tpu.models.physics.landuse import soil_params
+        sp = soil_params(land.isltyp)
+        c_soil = ((1.0 - sp["theta_sat"]) * sp["c_dry"]
                   + land.smois * lsm.C_WATER)
         store = float(jnp.sum(c_soil * (land.t_soil - t_ref) * dzs,
                               axis=0).mean())

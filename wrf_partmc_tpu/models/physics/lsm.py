@@ -88,18 +88,13 @@ def slab_lsm_step(land: LandState, sw_dn, lw_dn, temp1, qv1, rho1, ustar,
 # the tridiagonal is the shared ops/tridiag solver.
 # ---------------------------------------------------------------------------
 
+# Per-category vegetation/soil parameters (porosity, field capacity,
+# wilting point, Clapp-Hornberger b, k_sat, psi_sat, rsmin, LAI, veg
+# fraction, albedo, emissivity) come from the LANDUSE/SOILPARM-class
+# tables in models.physics.landuse, resolved per cell each step.
 DZS = (0.10, 0.30, 0.60, 1.00)       # Noah soil layer thicknesses [m]
-THETA_SAT = 0.45                     # porosity (loam-class)
-THETA_FC = 0.33                      # field capacity
-THETA_WILT = 0.12                    # wilting point
-B_CH = 5.3                           # Clapp-Hornberger exponent
-K_SAT = 2.5e-6                       # saturated hydraulic conductivity [m/s]
-PSI_SAT = 0.478                      # |saturation matric potential| [m]
-C_SOIL_DRY = 1.26e6                  # dry soil volumetric heat cap [J/m3/K]
+THETA_SAT = 0.45                     # loam-class porosity (fallback default)
 C_WATER = 4.18e6
-RSMIN = 100.0                        # minimum stomatal resistance [s/m]
-LAI = 2.0
-VEG_FRAC = 0.7
 
 
 @jax.tree_util.register_dataclass
@@ -109,52 +104,84 @@ class NoahState:
     t_soil: jax.Array    # [4, ny, nx] soil layer temperatures [K]
     smois: jax.Array     # [4, ny, nx] volumetric soil moisture [m3/m3]
     tbot: jax.Array      # [ny, nx] deep boundary temperature [K]
+    # LANDUSE.TBL / SOILPARM.TBL category maps (1-based USGS / STAS
+    # indices, the IVGTYP/ISLTYP fields of a wrfinput); the step resolves
+    # them to parameters through models.physics.landuse each call
+    ivgtyp: jax.Array    # [ny, nx] int32 USGS land-use category
+    isltyp: jax.Array    # [ny, nx] int32 STAS soil-texture category
 
 
 def init_noah(ny: int, nx: int, t0: float = 288.0, tbot: float = 285.0,
-              sm0: float = 0.25) -> NoahState:
+              sm0: float | None = 0.25, ivgtyp=None, isltyp=None) -> NoahState:
     """Soil-column init (module_soil_pre-class): temperatures interpolated
-    from skin toward the deep boundary, uniform moisture."""
+    from skin toward the deep boundary; moisture uniform at ``sm0``, or at
+    80% of the texture class's field capacity when ``sm0=None``."""
+    from .landuse import DEFAULT_ISLTYP, DEFAULT_IVGTYP, soil_params
+
     depth = jnp.cumsum(jnp.asarray(DZS)) - 0.5 * jnp.asarray(DZS)
     frac = (depth / (depth[-1] + 0.5 * DZS[-1])).reshape(-1, 1, 1)
     t_soil = jnp.broadcast_to(t0 + (tbot - t0) * frac,
                               (4, ny, nx)).astype(jnp.float32)
+    iv = (jnp.full((ny, nx), DEFAULT_IVGTYP, jnp.int32) if ivgtyp is None
+          else jnp.asarray(ivgtyp, jnp.int32))
+    isl = (jnp.full((ny, nx), DEFAULT_ISLTYP, jnp.int32) if isltyp is None
+           else jnp.asarray(isltyp, jnp.int32))
+    if sm0 is None:
+        smois = jnp.broadcast_to(soil_params(isl)["theta_fc"] * 0.8,
+                                 (4, ny, nx)).astype(jnp.float32)
+    else:
+        smois = jnp.full((4, ny, nx), sm0, jnp.float32)
     return NoahState(
         tsk=jnp.full((ny, nx), t0, jnp.float32),
         t_soil=t_soil,
-        smois=jnp.full((4, ny, nx), sm0, jnp.float32),
-        tbot=jnp.full((ny, nx), tbot, jnp.float32))
+        smois=smois,
+        tbot=jnp.full((ny, nx), tbot, jnp.float32),
+        ivgtyp=iv, isltyp=isl)
 
 
-def _soil_conductivity(theta):
+def _soil_conductivity(theta, theta_sat=THETA_SAT):
     """Johansen-class thermal conductivity [W/m/K] vs moisture."""
-    ke = jnp.clip(jnp.log10(jnp.maximum(theta / THETA_SAT, 0.1)) + 1.0,
+    ke = jnp.clip(jnp.log10(jnp.maximum(theta / theta_sat, 0.1)) + 1.0,
                   0.0, 1.0)
     return 0.15 + (1.9 - 0.15) * ke
 
 
 def noah_lsm_step(land: NoahState, sw_dn, lw_dn, temp1, qv1, rho1, ustar,
-                  exner_sfc, th1, dt, albedo=0.2, precip=0.0) -> tuple:
+                  exner_sfc, th1, dt, albedo=None, precip=0.0,
+                  season: str = "summer") -> tuple:
     """One Noah-class step.  Same call contract as :func:`slab_lsm_step`
     (+ optional ``precip`` [kg m-2 s-1] infiltration).  Returns
-    (new NoahState, fluxes dict)."""
+    (new NoahState, fluxes dict).
+
+    Vegetation and soil parameters come from the LANDUSE/SOILPARM-class
+    tables (:mod:`~.landuse`) through the state's per-cell IVGTYP/ISLTYP
+    category maps; ``albedo`` overrides the table value when given."""
     from ...ops.tridiag import solve as tridiag_solve
+    from .landuse import noah_params
+
+    p = noah_params(land.ivgtyp, land.isltyp, season)
+    theta_sat, theta_fc, theta_wilt = (p["theta_sat"], p["theta_fc"],
+                                       p["theta_wilt"])
+    b_ch, k_sat, psi_sat = p["b_ch"], p["k_sat"], p["psi_sat"]
+    veg_frac, rsmin, lai = p["veg_frac"], p["rsmin"], p["lai"]
+    emiss = p["emiss"]
+    albedo = p["albedo"] if albedo is None else albedo
 
     dzs = jnp.asarray(DZS).reshape(-1, 1, 1)
-    theta = jnp.clip(land.smois, 0.02, THETA_SAT)
-    kappa = _soil_conductivity(theta)                   # [4, ny, nx]
-    c_soil = (1.0 - THETA_SAT) * C_SOIL_DRY + theta * C_WATER
+    theta = jnp.clip(land.smois, 0.02, theta_sat)
+    kappa = _soil_conductivity(theta, theta_sat)        # [4, ny, nx]
+    c_soil = (1.0 - theta_sat) * p["c_dry"] + theta * C_WATER
 
     # ---- evaporative partition ----
     ch = 0.1 * ustar + 1.0e-3
-    beta1 = jnp.clip((theta[0] - THETA_WILT) / (THETA_FC - THETA_WILT),
+    beta1 = jnp.clip((theta[0] - theta_wilt) / (theta_fc - theta_wilt),
                      0.0, 1.0)
     # Jarvis canopy resistance: solar + root-zone moisture stress
     root = (theta[1] * DZS[1] + theta[2] * DZS[2]) / (DZS[1] + DZS[2])
-    beta_rz = jnp.clip((root - THETA_WILT) / (THETA_FC - THETA_WILT),
+    beta_rz = jnp.clip((root - theta_wilt) / (theta_fc - theta_wilt),
                        0.05, 1.0)
     f_sw = sw_dn / (sw_dn + 100.0)
-    r_c = RSMIN / (LAI * jnp.maximum(f_sw * beta_rz, 0.05))
+    r_c = rsmin / (jnp.maximum(lai, 0.1) * jnp.maximum(f_sw * beta_rz, 0.05))
     r_a = 1.0 / jnp.maximum(ch, 1e-5)
 
     # ---- skin-temperature Newton solve of the surface energy balance ----
@@ -164,29 +191,29 @@ def noah_lsm_step(land: NoahState, sw_dn, lw_dn, temp1, qv1, rho1, ustar,
     for _ in range(3):
         qsat = saturation_mixing_ratio(tsk, p_sfc)
         dqsat = qsat * c.WATER_LATENT_HEAT / (461.5 * tsk ** 2)
-        e_dir = ((1.0 - VEG_FRAC) * beta1 * rho1 * ch
+        e_dir = ((1.0 - veg_frac) * beta1 * rho1 * ch
                  * jnp.maximum(qsat - qv1, 0.0))
-        e_t = (VEG_FRAC * rho1 / (r_a + r_c)
+        e_t = (veg_frac * rho1 / (r_a + r_c)
                * jnp.maximum(qsat - qv1, 0.0))
         qfx = e_dir + e_t
         le = c.WATER_LATENT_HEAT * qfx
         hfx = rho1 * c.CP * ch * (tsk / exner_sfc - th1)
-        lw_up = EMISS * STEFAN * tsk ** 4
+        lw_up = emiss * STEFAN * tsk ** 4
         g_flx = g_coef * (tsk - land.t_soil[0])
-        f = (1.0 - albedo) * sw_dn + EMISS * lw_dn - lw_up - hfx - le \
+        f = (1.0 - albedo) * sw_dn + emiss * lw_dn - lw_up - hfx - le \
             - g_flx
-        dfdt = -(4.0 * EMISS * STEFAN * tsk ** 3
+        dfdt = -(4.0 * emiss * STEFAN * tsk ** 3
                  + rho1 * c.CP * ch / exner_sfc
                  + c.WATER_LATENT_HEAT * rho1
-                 * ((1.0 - VEG_FRAC) * beta1 * ch
-                    + VEG_FRAC / (r_a + r_c)) * dqsat
+                 * ((1.0 - veg_frac) * beta1 * ch
+                    + veg_frac / (r_a + r_c)) * dqsat
                  + g_coef)
         tsk = jnp.clip(tsk - f / dfdt, 200.0, 340.0)
 
     qsat = saturation_mixing_ratio(tsk, p_sfc)
-    e_dir = ((1.0 - VEG_FRAC) * beta1 * rho1 * ch
+    e_dir = ((1.0 - veg_frac) * beta1 * rho1 * ch
              * jnp.maximum(qsat - qv1, 0.0))
-    e_t = VEG_FRAC * rho1 / (r_a + r_c) * jnp.maximum(qsat - qv1, 0.0)
+    e_t = veg_frac * rho1 / (r_a + r_c) * jnp.maximum(qsat - qv1, 0.0)
     qfx = e_dir + e_t
     hfx = rho1 * c.CP * ch * (tsk / exner_sfc - th1)
     g_flx = g_coef * (tsk - land.t_soil[0])
@@ -212,9 +239,9 @@ def noah_lsm_step(land: NoahState, sw_dn, lw_dn, temp1, qv1, rho1, ustar,
 
     # ---- soil moisture: Clapp-Hornberger diffusion + gravity drainage,
     # evaporation sinks, infiltration ----
-    rel = theta / THETA_SAT
-    diff = (B_CH * K_SAT * PSI_SAT / THETA_SAT) * rel ** (B_CH + 2.0)
-    k_hyd = K_SAT * rel ** (2.0 * B_CH + 3.0)
+    rel = theta / theta_sat
+    diff = (b_ch * k_sat * psi_sat / theta_sat) * rel ** (b_ch + 2.0)
+    k_hyd = k_sat * rel ** (2.0 * b_ch + 3.0)
     d_int = 0.5 * (diff[1:] + diff[:-1])
     q_diff = d_int * (theta[:-1] - theta[1:]) / dz_int  # downward if wetter
     k_int_h = 0.5 * (k_hyd[1:] + k_hyd[:-1])
@@ -229,11 +256,11 @@ def noah_lsm_step(land: NoahState, sw_dn, lw_dn, temp1, qv1, rho1, ustar,
     w_rz = jnp.asarray([0.0, 0.5, 0.5, 0.0]).reshape(-1, 1, 1)
     sink_e = sink_e + w_rz * e_t[None] / 1000.0
     smois = theta + dt * (inflow - outflow - sink_e) / dzs
-    smois = jnp.clip(smois, 0.02, THETA_SAT)
+    smois = jnp.clip(smois, 0.02, theta_sat)
 
     new = NoahState(tsk=tsk.astype(jnp.float32),
                     t_soil=t_soil.astype(jnp.float32),
                     smois=smois.astype(jnp.float32),
-                    tbot=land.tbot)
-    rnet = (1.0 - albedo) * sw_dn + EMISS * lw_dn - EMISS * STEFAN * tsk ** 4
+                    tbot=land.tbot, ivgtyp=land.ivgtyp, isltyp=land.isltyp)
+    rnet = (1.0 - albedo) * sw_dn + emiss * lw_dn - emiss * STEFAN * tsk ** 4
     return new, dict(hfx=hfx, qfx_w=qfx, grf=g_flx, rnet=rnet)
