@@ -95,3 +95,26 @@ def test_noah_params_combined_keys():
               "psi_sat", "c_dry"):
         assert p[k].shape == (3, 3), k
         assert np.isfinite(np.asarray(p[k])).all()
+
+
+def test_wrfinput_category_roundtrip(tmp_path):
+    """IVGTYP/ISLTYP written into a wrfinput flow through init_real into
+    the Noah state built by build_model (the real_em -> Noah chain)."""
+    import dataclasses
+
+    from wrf_partmc_tpu.config import DomainConfig, uniform_test_config
+    from wrf_partmc_tpu.run import build_model
+    from wrf_partmc_tpu.tools.make_inputs import write_wrfinput
+
+    cfg = uniform_test_config().replace(
+        domain=DomainConfig(nx=6, ny=4, nz=4, dx=2000.0, dy=2000.0,
+                            ztop=400.0))
+    cfg = cfg.replace(dynamics=dataclasses.replace(cfg.dynamics,
+                                                   sf_surface_physics=2))
+    iv = np.arange(24, dtype=np.int32).reshape(4, 6) % 24 + 1
+    isl = np.arange(24, dtype=np.int32).reshape(4, 6) % 12 + 1
+    p = str(tmp_path / "wrfinput.nc")
+    write_wrfinput(p, cfg, ivgtyp=iv, isltyp=isl)
+    _, _, _, _, cs, _, _ = build_model(cfg, input_files={"wrfinput": p})
+    np.testing.assert_array_equal(np.asarray(cs.land.ivgtyp), iv)
+    np.testing.assert_array_equal(np.asarray(cs.land.isltyp), isl)

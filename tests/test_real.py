@@ -71,7 +71,7 @@ def test_wrfinput_roundtrip_metadata():
     cfg = _cfg()
     path = os.path.join(os.environ.get("TMPDIR", "/tmp"), "wrfinput_test.nc")
     write_wrfinput(path, cfg, cen_lat=45.0)
-    grid, state = init_real(cfg, path)
+    grid, state, _sfc = init_real(cfg, path)
     assert grid.hgt is not None and float(grid.hgt.max()) > 100.0
     msft = np.asarray(grid.msft)
     assert msft.shape == (cfg.domain.ny, cfg.domain.nx)
@@ -92,7 +92,7 @@ def test_real_case_runs_stably_and_restarts(tmp_path):
     cfg = _cfg(nx=16, ny=16, nz=10, dt=10.0)
     path = str(tmp_path / "wrfinput.nc")
     write_wrfinput(path, cfg)
-    grid, state = init_real(cfg, path)
+    grid, state, _sfc = init_real(cfg, path)
     out = _steps(state, grid, cfg, 100)
     for name in ("u", "v", "w", "theta_p", "mu", "ph"):
         a = np.asarray(getattr(out, name))

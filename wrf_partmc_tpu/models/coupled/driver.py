@@ -550,7 +550,8 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
 
 
 def init_coupled(cfg: Config, grid: Grid, aero_data: AeroData,
-                 gas_data: GasData, dyn: DycoreState) -> CoupledState:
+                 gas_data: GasData, dyn: DycoreState,
+                 ivgtyp=None, isltyp=None) -> CoupledState:
     aero = zero_state(aero_data, cfg.partmc.max_particles,
                       cell_shape=(grid.nz, grid.ny, grid.nx))
     gas = jnp.zeros((grid.nz, grid.ny, grid.nx, gas_data.n_spec), jnp.float32)
@@ -564,7 +565,8 @@ def init_coupled(cfg: Config, grid: Grid, aero_data: AeroData,
         from ..physics.lsm import init_noah
 
         t_sfc0 = float(jnp.asarray(grid.t_base)[0])
-        land = init_noah(grid.ny, grid.nx, t_sfc0, tbot=t_sfc0 - 3.0)
+        land = init_noah(grid.ny, grid.nx, t_sfc0, tbot=t_sfc0 - 3.0,
+                         ivgtyp=ivgtyp, isltyp=isltyp)
     removals = None
     if cfg.partmc.record_removals:
         z3 = jnp.zeros((grid.nz, grid.ny, grid.nx), jnp.float32)

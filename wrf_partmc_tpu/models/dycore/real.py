@@ -119,6 +119,7 @@ def read_wrfinput(path: str) -> dict:
         hgt=g("HGT"), u_stag=g("U"), v_stag=g("V"), t=g("T"),
         qvapor=g("QVAPOR"), psfc=g("PSFC"),
         xlat=g("XLAT"), xlong=g("XLONG"), msft=g("MAPFAC_M"), f_cor=g("F"),
+        ivgtyp=g("IVGTYP"), isltyp=g("ISLTYP"),
     )
     for a in ("DX", "DY", "MAP_PROJ", "TRUELAT1", "TRUELAT2", "STAND_LON",
               "CEN_LAT", "CEN_LON", "P_TOP"):
@@ -167,4 +168,5 @@ def init_real(cfg: Config, path: str):
     v = d["v_stag"][..., : cfg_d.ny, :]
     state = init_real_from_arrays(cfg, grid, u, v, d["t"], d["qvapor"],
                                   psfc=d["psfc"])
-    return grid, state
+    sfc = {"ivgtyp": d.get("ivgtyp"), "isltyp": d.get("isltyp")}
+    return grid, state, sfc

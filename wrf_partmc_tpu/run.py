@@ -65,20 +65,25 @@ def build_model(cfg: Config, case: str = "uniform", seed: int = 0,
     if input_files and input_files.get("wrfinput"):
         from .models.dycore.real import init_real
 
-        grid, dyn = init_real(cfg, input_files["wrfinput"])
+        grid, dyn, sfc_cat = init_real(cfg, input_files["wrfinput"])
     else:
         grid = make_grid(cfg)
         dyn = CASES[case](cfg, grid)
+        sfc_cat = {}
     if input_files and input_files.get("spec"):
         from .models.coupled.init import init_from_spec
 
-        cs = init_coupled(cfg, grid, ad, gd, dyn)
+        cs = init_coupled(cfg, grid, ad, gd, dyn,
+                          ivgtyp=sfc_cat.get("ivgtyp"),
+                          isltyp=sfc_cat.get("isltyp"))
         aero, gas0, scenario_fn = init_from_spec(
             ad, gd, cfg, grid, rng.base_key(seed), input_files["spec"])
         cs = dataclasses.replace(cs, aero=aero, gas=gas0)
         exch = k_profile_exch_h(grid, 0.4, 800.0)
         return grid, ad, gd, scenario_fn(0.0), cs, exch, scenario_fn
-    cs = init_coupled(cfg, grid, ad, gd, dyn)
+    cs = init_coupled(cfg, grid, ad, gd, dyn,
+                      ivgtyp=sfc_cat.get("ivgtyp"),
+                      isltyp=sfc_cat.get("isltyp"))
     scenario_fn = None
     if input_files and input_files.get("ics"):
         from .models.coupled.init import init_from_files

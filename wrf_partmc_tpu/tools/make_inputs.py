@@ -147,7 +147,7 @@ def read_bcs(path: str):
 def write_wrfinput(path: str, cfg, hgt=None, proj_kind="lambert",
                    cen_lat=40.0, cen_lon=-97.0, truelat1=30.0, truelat2=60.0,
                    stand_lon=-97.0, dtheta_dz=4.0e-3, u_jet=12.0, v0=0.0,
-                   rh0=0.5, seed=0) -> None:
+                   rh0=0.5, seed=0, ivgtyp=None, isltyp=None) -> None:
     """Synthetic wrfinput-like NetCDF (the ``real_em`` input contract,
     ``WRFV3/main/real_em.F:1``): terrain + map-projection metadata + a
     stable sheared sounding, in wrfinput variable names/dims so
@@ -216,6 +216,14 @@ def write_wrfinput(path: str, cfg, hgt=None, proj_kind="lambert",
     var("XLONG", ("south_north", "west_east"), xlong)
     var("MAPFAC_M", ("south_north", "west_east"), msft)
     var("F", ("south_north", "west_east"), f_cor)
+    # land-use / soil-texture category maps (Noah-class LSM consumers via
+    # models.physics.landuse; optional like real wrfinputs always carry them)
+    if ivgtyp is not None:
+        vi = f.createVariable("IVGTYP", "i", ("south_north", "west_east"))
+        vi[:] = np.asarray(ivgtyp, np.int32)
+    if isltyp is not None:
+        vs = f.createVariable("ISLTYP", "i", ("south_north", "west_east"))
+        vs[:] = np.asarray(isltyp, np.int32)
     f.DX = float(d.dx)
     f.DY = float(d.dy)
     f.MAP_PROJ = {"lambert": 1, "polar": 2, "mercator": 3, "lat-lon": 6}[proj_kind]
