@@ -4,6 +4,8 @@ subsidence warms/dries the column and rains; stable columns untouched."""
 
 import dataclasses
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np

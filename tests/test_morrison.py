@@ -174,3 +174,28 @@ def test_morrison_no_graupel_layout_unchanged():
     out = jax.jit(lambda st: morrison_step(st, grid, cfg.dynamics.dt))(s)
     assert out.moist.shape[0] == 8
     assert np.isfinite(np.asarray(out.moist)).all()
+
+
+def test_cold_model_top_stays_finite():
+    """Regression: a 155 K model top (16 km synthetic sounding) overflowed
+    the unclamped Bigg freezing exponential into inf * lam^-6 = NaN; the
+    supercooling clamp keeps every rate finite."""
+    import numpy as np
+
+    from wrf_partmc_tpu.config import Config, DomainConfig, DynamicsConfig
+    from wrf_partmc_tpu.grid import make_grid
+    from wrf_partmc_tpu.models.dycore.ideal import init_uniform
+    from wrf_partmc_tpu.models.physics.morrison import morrison_step
+
+    cfg = Config(domain=DomainConfig(nx=4, ny=4, nz=20, dx=4000.0, dy=4000.0,
+                                     ztop=16000.0),
+                 dynamics=DynamicsConfig(dt=30.0, mp_physics=10),
+                 n_moist=10, n_moist_mass=6)
+    grid = make_grid(cfg)
+    dyn = init_uniform(cfg, grid, 8.0, 1.0)
+    # moisture everywhere incl. the very cold top layers
+    dyn = dataclasses.replace(dyn, moist=dyn.moist.at[0].set(1e-3)
+                              .at[1].set(1e-4).at[2].set(1e-4))
+    out = jax.jit(lambda d: morrison_step(d, grid, 30.0))(dyn)
+    assert np.isfinite(np.asarray(out.theta_p)).all()
+    assert np.isfinite(np.asarray(out.moist)).all()

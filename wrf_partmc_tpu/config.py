@@ -170,9 +170,10 @@ class PartmcConfig:
                                          # count > trigger * ideal
                                          # (wrf_pmc_trans_aero.F90:1374-1402)
     trans_cap_v: int = 0           # per-(cell, dest-level) mover cap in the
-                                   # MXU rebucket (0 -> max(16, 2P/nz): 2x
-                                   # the strong-mixing per-level expectation);
-                                   # overflow is counted (trans_diag/history)
+                                   # MXU rebucket (0 -> max(16, P//16); set
+                                   # ~2P/nz explicitly for fully-convective
+                                   # regimes); overflow is counted
+                                   # (trans_diag/history trans_overflow_*)
                                    # and conserved by shipped-survivor rescale
     trans_cap_h: int = 0           # per-(cell, face) horizontal mover cap
                                    # (0 -> max(16, P // 16))

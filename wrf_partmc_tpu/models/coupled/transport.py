@@ -377,12 +377,17 @@ def _caps(cfg: Config, P: int, nz: int):
     that (cell, class); the hit rate is surfaced through the transport diag
     (``CoupledState.trans_diag`` -> history).
 
-    The vertical default scales with the per-level expectation: under
-    strong PBL mixing a near-uniform R row moves ~P/nz particles per
-    destination level, so the cap is 2x that (the old max(16, P//32) was
-    routinely saturated in exactly the regime the 1024-substep vertical
-    operator targets)."""
-    av = cfg.partmc.trans_cap_v or max(16, min(P, (2 * P) // max(nz, 1)))
+    Cost scales ~linearly with the vertical cap (the rebucket payload
+    phase moves D x Av mover slots), so the default is a measured
+    compromise: max(16, P//16) is 2x the r3 default that ADVICE flagged
+    as saturating under strong mixing, yet 6.4x cheaper than the
+    worst-case 2P/nz bound (which benched 2.5x slower on the em_uniform
+    contract while its extra headroom went entirely unused — overflow
+    counters read 0 there at HALF this cap).  Fully-convective regimes
+    where a near-uniform R row really moves ~P/nz particles per level
+    should set trans_cap_v explicitly (e.g. 2P/nz); saturation of the
+    conserving overflow path is visible in history as trans_overflow_*."""
+    av = cfg.partmc.trans_cap_v or max(16, min(P, P // 16))
     ah = cfg.partmc.trans_cap_h or max(16, P // 16)
     return av, ah
 

@@ -165,8 +165,12 @@ def morrison_step(state: DycoreState, grid: Grid, dt) -> DycoreState:
     # ---- rain freezing (Bigg 1953) below -4 C; frozen drops are dense
     # rimed particles -> graupel when carried, else snow (the reference
     # routes PGFR to graupel, module_mp_morr_two_moment.F) ----
+    # supercooling clamped to 40 K: below -40 C homogeneous freezing has
+    # consumed the rain anyway, and the unclamped exponential overflows
+    # f32 (exp(0.66*118) ~ 8e35 -> inf * lam^-6 = NaN at a 155 K model top)
     bigg = jnp.where(temp < t0c - 4.0,
-                     100.0 * (jnp.exp(0.66 * (t0c - temp)) - 1.0), 0.0)
+                     100.0 * (jnp.exp(0.66 * jnp.minimum(t0c - temp, 40.0))
+                              - 1.0), 0.0)
     pgfr = jnp.pi ** 2 / 36.0 * RHO_W / rho * bigg * nr \
         * _gamma(7.0) * lam_r ** (-6.0)
     pgfr = jnp.minimum(pgfr, qr / dt)
