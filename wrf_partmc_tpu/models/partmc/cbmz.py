@@ -502,19 +502,18 @@ def ros2_substep(mech: Mechanism, conc, k_ppb, h):
     return jnp.maximum(out, 0.0)
 
 
-def ros2_substep_w(mech: Mechanism, conc, k_ppb, h, lu, piv):
-    """ROS2 stage update against a FROZEN factored operator (Rosenbrock-W:
+def ros2_substep_w(mech: Mechanism, conc, k_ppb, h, a_inv):
+    """ROS2 stage update against a FROZEN inverted operator (Rosenbrock-W:
     the order-2 conditions of this scheme hold for an approximate Jacobian
     — Verwer et al. 1999 sec. 4; KPP's W-variants do the same).  The
-    per-cell 77x77 LU is factored once per chemistry macro-step instead of
-    once per substep, which removes the dominant dense-linear-algebra cost
-    from the inner loop."""
-    from jax.scipy.linalg import lu_solve
-
+    per-cell 77x77 operator is inverted once per chemistry macro-step and
+    each stage solve becomes one batched [S,S]@[S] matvec — a pure MXU
+    contraction, where pivoted triangular lu_solve substitution lowered to
+    a sequential per-row loop the TPU executes poorly."""
     f1 = production_rates(mech, conc, k_ppb)
-    k1 = lu_solve((lu, piv), f1[..., None])[..., 0]
+    k1 = jnp.einsum("...ts,...s->...t", a_inv, f1)
     f2 = production_rates(mech, jnp.maximum(conc + h * k1, 0.0), k_ppb)
-    k2 = lu_solve((lu, piv), (f2 - 2.0 * k1)[..., None])[..., 0]
+    k2 = jnp.einsum("...ts,...s->...t", a_inv, f2 - 2.0 * k1)
     out = conc + 1.5 * h * k1 + 0.5 * h * k2
     return jnp.maximum(out, 0.0)
 
@@ -544,15 +543,13 @@ def cbmz_step(mech: Mechanism, gas_ppb, temp, pressure, rh, cosz, dt,
     conc0 = gas_ppb.astype(jnp.float32)
 
     if w_method:
-        from jax.scipy.linalg import lu_factor
-
         S = conc0.shape[-1]
         J = jacobian(mech, conc0, k_ppb)
         A = jnp.eye(S, dtype=conc0.dtype) - _ROS_GAMMA * h * J
-        lu, piv = lu_factor(A)
+        a_inv = jnp.linalg.inv(A)
 
         def body(i, conc):
-            return ros2_substep_w(mech, conc, k_ppb, h, lu, piv)
+            return ros2_substep_w(mech, conc, k_ppb, h, a_inv)
 
         return jax.lax.fori_loop(0, n_sub, body, conc0)
 
