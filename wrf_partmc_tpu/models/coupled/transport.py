@@ -394,16 +394,24 @@ def _caps(cfg: Config, P: int, nz: int):
 
 def _reorder_minis(minis, nz, nyl, nxl, chb, Av, Ah, roll):
     """Cross-cell reorder of the per-cell mover mini-regions into
-    per-destination-cell arrival buffers by pure reshapes/transposes/rolls
-    (the static per-(src, dst) caps make it a transpose).
-    minis: [C, chb, F1] -> arr [C, chb, AB]."""
+    per-destination-cell arrival buffers.  minis: [C, chb, F1] ->
+    arr [C, chb, Av + 4*Ah].
+
+    Vertical: because vertical ranks are COLUMN-GLOBAL (phase 1a), every
+    (dest-level, rank) slot is claimed by at most one source cell in the
+    whole column, so the column arrival buffer is simply the SUM of the
+    source cells' mini regions — one bandwidth-bound reduction over the
+    leading level axis.  (The r4.0 form kept per-(src, dst) regions and
+    transposed the two small level axes; that [.., chb, nz, Av] small-tile
+    transpose alone cost 46 ms of a 58 ms rebucket at the profile size.)
+    Dest cell kd then reads its Av-wide segment — a leading-axis moveaxis,
+    which is cheap."""
     C = nz * nyl * nxl
     F1 = nz * Av + 4 * Ah
     m5 = minis.reshape(nz, nyl, nxl, chb, F1)
-    mv = m5[..., :nz * Av].reshape(nz, nyl, nxl, chb, nz, Av)
-    arr_v = jnp.moveaxis(mv, 4, 0)                  # [kd, ks, ny, nx, c, Av]
-    arr_v = jnp.moveaxis(arr_v, 1, 4)               # [kd, ny, nx, c, ks, Av]
-    arr_v = arr_v.reshape(nz, nyl, nxl, chb, nz * Av)
+    col = jnp.sum(m5[..., :nz * Av], axis=0)        # [ny, nx, c, nz*Av]
+    col = col.reshape(nyl, nxl, chb, nz, Av)
+    arr_v = jnp.moveaxis(col, 3, 0)                 # [kd, ny, nx, c, Av]
     mh = m5[..., nz * Av:].reshape(nz, nyl, nxl, chb, 4, Ah)
     # W-movers of column i arrive in column i-1, etc.; under open BCs the
     # edge movers were already dropped, so the wrapped rows are zero.  On a
@@ -414,11 +422,12 @@ def _reorder_minis(minis, nz, nyl, nxl, chb, Av, Ah, roll):
     arr_s = roll(mh[..., 2, :], -1, 1)
     arr_n = roll(mh[..., 3, :], 1, 1)
     arr = jnp.concatenate([arr_v, arr_w, arr_e, arr_s, arr_n], axis=-1)
-    return arr.reshape(C, chb, F1)
+    return arr.reshape(C, chb, Av + 4 * Ah)
 
 
 def rebucket(aero: AeroState, dest_k, dj, di, horizontal, drop, acc,
-             grid: Grid, cfg: Config, key, roll_fn=None, ch_block: int = 8):
+             grid: Grid, cfg: Config, key, roll_fn=None,
+             ch_block: int | None = None):
     """Move particles to their sampled destination cells.
 
     dest_k/dj/di/horizontal: per-particle move sample ([nz, ny, nx, P]);
@@ -448,7 +457,7 @@ def rebucket(aero: AeroState, dest_k, dj, di, horizontal, drop, acc,
     C = nz * nyl * nxl
     Av, Ah = _caps(cfg, P, nz)
     F1 = nz * Av + 4 * Ah          # per-cell mover-region width
-    AB = F1                        # per-cell arrival-buffer width
+    AB = Av + 4 * Ah               # per-cell arrival-buffer width
     D = nz + 4
 
     kk = lax.broadcasted_iota(jnp.int32, aero.num.shape, 0)
@@ -458,31 +467,55 @@ def rebucket(aero: AeroState, dest_k, dj, di, horizontal, drop, acc,
     # face d (0=W -x, 1=E +x, 2=S -y, 3=N +y)
     hdir = jnp.where(di < 0, 0, jnp.where(di > 0, 1,
                      jnp.where(dj < 0, 2, 3)))
-    dcode = jnp.where(vert, dest_k, jnp.where(horizontal, nz + hdir, -1))
-    dcode = jnp.where(alive, dcode, -1).reshape(C, P)
+    dcode4 = jnp.where(vert, dest_k, jnp.where(horizontal, nz + hdir, -1))
+    dcode4 = jnp.where(alive, dcode4, -1)              # [nz, ny, nx, P]
+    dcode = dcode4.reshape(C, P)
     mover = dcode >= 0
-    num_flat = aero.num.reshape(C, P)
+    num4 = aero.num
+    num_flat = num4.reshape(C, P)
 
     # ---- phase 1a: per-destination-class ranks, caps, overflow rescale —
-    # one [C, P] pass per class (memory-flat in D, unlike an [.., D, P]
-    # one-hot)
+    # one pass per class (memory-flat in D, unlike an [.., D, P] one-hot).
+    # Vertical classes rank GLOBALLY over the column in source-level-major
+    # order (per-cell rank + exclusive scan of per-cell counts over levels):
+    # every (dest-level, rank) slot then belongs to exactly one particle in
+    # the column, so the cross-cell reorder degenerates to a sum
+    # (_reorder_minis) and the arrival buffer narrows from nz*Av+4Ah to
+    # Av+4Ah.  The vertical cap/conservation pool is per (column, dest
+    # level); horizontal classes stay per (cell, face).
     def dbody(d, carry):
         dst1, shipped, scale_p, ovf = carry
-        cap_d = jnp.where(d < nz, Av, Ah)
-        base_d = jnp.where(d < nz, d * Av, nz * Av + (d - nz) * Ah)
-        mask = dcode == d
-        m_f = mask.astype(jnp.float32)
-        rank_d = (jnp.cumsum(m_f, axis=-1) - 1.0).astype(jnp.int32)
-        ship_d = mask & (rank_d < cap_d)
-        num_tot = jnp.sum(m_f * num_flat, axis=-1)
-        num_shp = jnp.sum(jnp.where(ship_d, num_flat, 0.0), axis=-1)
+        is_v = d < nz
+        cap_d = jnp.where(is_v, Av, Ah)
+        base_d = jnp.where(is_v, d * Av, nz * Av + (d - nz) * Ah)
+        mask4 = dcode4 == d
+        m_f4 = mask4.astype(jnp.float32)
+        rank_cell = jnp.cumsum(m_f4, axis=-1) - 1.0
+        cnt_cell = jnp.sum(m_f4, axis=-1)              # [nz, ny, nx]
+        offs = jnp.cumsum(cnt_cell, axis=0) - cnt_cell  # exclusive over ks
+        rank4 = rank_cell + jnp.where(is_v, offs[..., None], 0.0)
+        rank_d = rank4.astype(jnp.int32)
+        ship4 = mask4 & (rank_d < cap_d)
+        num_tot_c = jnp.sum(m_f4 * num4, axis=-1)      # [nz, ny, nx]
+        num_shp_c = jnp.sum(jnp.where(ship4, num4, 0.0), axis=-1)
+        num_tot = jnp.where(is_v, jnp.sum(num_tot_c, 0, keepdims=True),
+                            num_tot_c)
+        num_shp = jnp.where(is_v, jnp.sum(num_shp_c, 0, keepdims=True),
+                            num_shp_c)
         sc_d = jnp.where(num_shp > 0.0,
                          num_tot / jnp.maximum(num_shp, 1e-300), 1.0)
-        cnt_d = jnp.sum(m_f, axis=-1)
-        ovf = ovf + jnp.sum(jnp.maximum(cnt_d - cap_d, 0.0))
-        dst1 = jnp.where(ship_d, base_d + rank_d, dst1)
-        shipped = shipped | ship_d
-        scale_p = jnp.where(ship_d, sc_d[:, None], scale_p)
+        # overflow counts movers beyond the pool cap; jnp.where broadcasts
+        # the [1, ny, nx] column pool over nz, so its sum is divided back
+        cnt_pool = jnp.where(is_v, jnp.sum(cnt_cell, 0, keepdims=True),
+                             cnt_cell)
+        ovf = ovf + (jnp.sum(jnp.maximum(cnt_pool - cap_d, 0.0))
+                     / jnp.where(is_v, jnp.float32(nz), 1.0))
+        dst1 = jnp.where(ship4.reshape(C, P),
+                         base_d + rank_d.reshape(C, P), dst1)
+        shipped = shipped | ship4.reshape(C, P)
+        scale_p = jnp.where(ship4, jnp.broadcast_to(sc_d[..., None],
+                                                    ship4.shape),
+                            scale_p.reshape(ship4.shape)).reshape(C, P)
         return dst1, shipped, scale_p, ovf
 
     dst1, shipped, scale_p, ovf_class = lax.fori_loop(
@@ -551,6 +584,17 @@ def rebucket(aero: AeroState, dest_k, dj, di, horizontal, drop, acc,
     CH = payload.shape[1]
     rest = payload[:, 1:, :]                               # non-num channels
     n_rest = CH - 1
+    if ch_block is None:
+        # adaptive slab width: the place-engine MXU runs at M = 3*ch_block
+        # of its 128-row tile, so wider slabs are ~linearly faster — take
+        # the widest that (a) keeps the transient mover buffers
+        # (minis + reorder + arrivals, ~3 copies) under a fixed HBM budget
+        # and (b) fits the bf16x3 M tile (place.MAX_CH)
+        from ...ops.place import MAX_CH
+
+        budget = 2 * 1024 ** 3
+        per_ch = C * F1 * 4 * 3
+        ch_block = max(8, min(n_rest, MAX_CH, budget // max(per_ch, 1)))
     n_blk = -(-n_rest // ch_block)
     pad = n_blk * ch_block - n_rest
     rest = jnp.pad(rest, ((0, 0), (0, pad), (0, 0)))

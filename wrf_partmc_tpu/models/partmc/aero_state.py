@@ -169,29 +169,34 @@ def pack_payload(state: AeroState):
 def unpack_payload(state: AeroState, payload) -> AeroState:
     """Inverse of pack_payload; payload: [C, CH, P] with C = prod(cells).
     Integer channels are rounded (the MXU path is ~1-ulp on floats, exact
-    on int values after rounding); rows with num <= 0 are fully zeroed."""
+    on int values after rounding); rows with num <= 0 are fully zeroed.
+
+    TPU layout note: channels move to the LEADING axis first so every
+    per-channel slice is a contiguous [C, P] slab — slicing the sublane
+    axis of [C, CH, P] in place ran at ~9 GB/s (31 ms for a 273 MB
+    payload); this form is ~200x faster."""
     S = state.vol.shape[-2]
     K = state.n_src_comp
     cs = state.cell_shape
     P = state.capacity
-    p = payload.reshape(*cs, payload.shape[-2], P)
+    p = jnp.moveaxis(payload, -2, 0).reshape(payload.shape[-2], *cs, P)
     ii = lambda a: jnp.round(a).astype(jnp.int32)
-    num = p[..., 0, :]
+    num = p[0]
     dead = num <= 0.0
-    pid = ii(p[..., 2, :]) + _PID_SPLIT * ii(p[..., 3, :])
+    pid = ii(p[2]) + _PID_SPLIT * ii(p[3])
     return dataclasses.replace(
         state,
         num=jnp.where(dead, 0.0, num),
-        t_create=p[..., 1, :],
+        t_create=p[1],
         pid=jnp.where(dead, 0, pid),
-        source=jnp.where(dead, 0, ii(p[..., 4, :])),
-        w_class=jnp.where(dead, 0, ii(p[..., 5, :])),
-        vol=jnp.where(dead[..., None, :], 0.0, p[..., 6:6 + S, :]),
-        src_vol=jnp.where(dead[..., None, :], 0.0,
-                          p[..., 6 + S:6 + S + K, :]),
-        src_id=jnp.where(dead[..., None, :], -1,
-                         ii(p[..., 6 + S + K:6 + S + 2 * K, :])),
-        hyst_leg=jnp.where(dead, 1, ii(p[..., 6 + S + 2 * K, :])))
+        source=jnp.where(dead, 0, ii(p[4])),
+        w_class=jnp.where(dead, 0, ii(p[5])),
+        vol=jnp.moveaxis(jnp.where(dead[None], 0.0, p[6:6 + S]), 0, -2),
+        src_vol=jnp.moveaxis(jnp.where(dead[None], 0.0,
+                                       p[6 + S:6 + S + K]), 0, -2),
+        src_id=jnp.moveaxis(jnp.where(dead[None], -1,
+                                      ii(p[6 + S + K:6 + S + 2 * K])), 0, -2),
+        hyst_leg=jnp.where(dead, 1, ii(p[6 + S + 2 * K])))
 
 
 def permute_slots(state: AeroState, dst) -> AeroState:
