@@ -295,10 +295,19 @@ def main():
     # at the largest grid that fits HBM at 100 particles/cell ---
     cares_extra = {}
     if args.preset == "full":
-        # >=56x56x24 trips the axon remote-compile helper (subprocess exit 1
-        # on the full CARES physics+chem graph), so the sweep starts at the
-        # largest size that reliably compiles and steps on this stack
-        for (cnx, cny, cnz) in ((48, 48, 20), (40, 40, 20), (32, 32, 16)):
+        # The r4 "compile ceiling" was diagnosed in r5 as a plain HBM OOM
+        # (the helper's exit-1 wrapped "Ran out of memory in hbm"):
+        # CBM-Z's per-cell dense [77,77] operators cost 23 KB/cell/buffer
+        # (2.9 GB each at 75k cells).  cbmz_step now solves cells in
+        # lax.map blocks, moving the single-chip ceiling from 48x48x20
+        # (46k cells) to 64x64x28 (115k cells, temp 13.2 GiB measured);
+        # beyond that the particle payload itself (~16 KB/cell/copy at
+        # cap=128, ~3 live copies through the transport rebucket) exceeds
+        # the 15.75 GiB HBM — the true hardware ceiling, reached by
+        # HBM, not the compiler.  The full CARES 170x160x65 (1.77M cells)
+        # is a multi-chip problem by design (the reference runs it on
+        # hundreds of MPI ranks); see dryrun_multichip + WEAKSCALING.
+        for (cnx, cny, cnz) in ((64, 64, 28), (56, 56, 24), (48, 48, 20)):
             rcs = _spawn("cares", ["--nx", str(cnx), "--ny", str(cny),
                                    "--nz", str(cnz), "--steps", "5",
                                    "--n_part", "100", "--cap", "128"],

@@ -485,12 +485,19 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
             exner_sfc = (grid.pb3[0] / c.P0) ** c.KAPPA
             rho1 = rho3[0]
             th1 = grid.t_base[0] + dyn2.theta_p[0]
-            lsm = (noah_lsm_step
-                   if cfg.dynamics.sf_surface_physics == 2 else slab_lsm_step)
-            land2, _sfc_fluxes = lsm(
-                cs.land, _rad_diag["sw_sfc_down"], _rad_diag["lw_sfc_down"],
-                temperature(dyn2, grid)[0], dyn2.moist[0][0], rho1,
-                sfc_ustar, exner_sfc, th1, dt)
+            lsm_args = (cs.land, _rad_diag["sw_sfc_down"],
+                        _rad_diag["lw_sfc_down"], temperature(dyn2, grid)[0],
+                        dyn2.moist[0][0], rho1, sfc_ustar, exner_sfc, th1, dt)
+            if cfg.dynamics.sf_surface_physics == 2:
+                # LANDUSE season columns by hemisphere + julian day (the
+                # reference's landuse_init season switch: NH summer =
+                # Apr 15 - Oct 15, reversed in the SH)
+                nh_summer = 105 <= cfg.domain.julian_day <= 288
+                season = ("summer" if (nh_summer if cfg.domain.lat0 >= 0
+                                       else not nh_summer) else "winter")
+                land2, _sfc_fluxes = noah_lsm_step(*lsm_args, season=season)
+            else:
+                land2, _sfc_fluxes = slab_lsm_step(*lsm_args)
         else:
             land2 = cs.land
     else:

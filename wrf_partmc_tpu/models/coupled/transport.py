@@ -438,20 +438,34 @@ def rebucket(aero: AeroState, dest_k, dj, di, horizontal, drop, acc,
     the horizontal wrap (sharded edge exchange).  Cell dims come from the
     (possibly shard-local) aero arrays, not the global grid.
 
-    Two-phase memory-bounded design: phase 1 computes every index map and
-    conservation factor on [C, P]-sized arrays ONLY (a fori loop over the
-    nz+4 destination classes replaces the r3 [.., D, P] one-hot cumsum, and
-    the num channel alone flows through T1+reorder to fix the arrival
-    thinning/placement); phase 2 moves the full payload through
-    T1 -> reorder -> T2 in ``ch_block``-channel slabs under ``lax.map``, so
-    peak HBM for the mover buffers is ~(ch_block/CH) of the monolithic form
-    — this is what lets the per-level mover caps scale as 2P/nz (ADVICE r3)
-    and tall CARES-shaped domains fit one chip.
+    Loop-free r5 design (replaces the r4 per-destination-class fori loop
+    that ran 14 full [C, P] passes at ~44 GB/s effective, 377 ms of the
+    738 ms em_uniform transport step):
+
+    * **phase 1a** — destination-class one-hot [C, D, P] (bf16) + ONE MXU
+      matmul against a strict-triangular ones matrix gives every particle's
+      within-cell rank for its class simultaneously; column-global vertical
+      ranks come from an exclusive level-scan of the per-class counts.  The
+      source-level visiting order is rotated by a per-step random offset so
+      cap saturation cannot systematically ship low levels first (ADVICE
+      r4 #1).  Pool conservation scales and overflow counters are
+      per-(pool) einsum reductions over the same one-hot.
+    * **T1** — the FULL payload (num included) moves through the mover
+      mini-regions in one fused multi-channel scatter (slab-chunked under
+      ``lax.map`` only when the F1-wide transient exceeds the HBM budget);
+      the expensive per-cell one-hot build is amortized over all ~33
+      channels instead of being rebuilt per 9-channel slab.
+    * **phase 1b** — thinning draw, arrival compaction ranks and free-slot
+      ranks live entirely on [C, AB]-sized arrays.
+    * **T2** — kept arrivals are compacted by rank (small AB-wide scatter)
+      and every free slot gathers its rank'th arrival in one fused
+      multi-channel gather; no slot_of_rank indirection pass.
 
     Returns (new_aero, diag) with overflow counters.
     """
-    from ...models.partmc.aero_state import pack_payload, unpack_payload
-    from ...ops.place import gather_rows, scatter_rows
+    from ...models.partmc.aero_state import (payload_channel_list,
+                                             unpack_payload)
+    from ...ops.place import MAX_CH, gather_rows, scatter_rows
 
     nz, nyl, nxl, P = aero.num.shape
     C = nz * nyl * nxl
@@ -459,6 +473,8 @@ def rebucket(aero: AeroState, dest_k, dj, di, horizontal, drop, acc,
     F1 = nz * Av + 4 * Ah          # per-cell mover-region width
     AB = Av + 4 * Ah               # per-cell arrival-buffer width
     D = nz + 4
+
+    k_thin, k_rot = jax.random.split(key)
 
     kk = lax.broadcasted_iota(jnp.int32, aero.num.shape, 0)
     alive = aero.alive & ~drop
@@ -471,149 +487,155 @@ def rebucket(aero: AeroState, dest_k, dj, di, horizontal, drop, acc,
     dcode4 = jnp.where(alive, dcode4, -1)              # [nz, ny, nx, P]
     dcode = dcode4.reshape(C, P)
     mover = dcode >= 0
-    num4 = aero.num
-    num_flat = num4.reshape(C, P)
+    num_flat = aero.num.reshape(C, P)
 
-    # ---- phase 1a: per-destination-class ranks, caps, overflow rescale —
-    # one pass per class (memory-flat in D, unlike an [.., D, P] one-hot).
-    # Vertical classes rank GLOBALLY over the column in source-level-major
-    # order (per-cell rank + exclusive scan of per-cell counts over levels):
-    # every (dest-level, rank) slot then belongs to exactly one particle in
-    # the column, so the cross-cell reorder degenerates to a sum
-    # (_reorder_minis) and the arrival buffer narrows from nz*Av+4Ah to
-    # Av+4Ah.  The vertical cap/conservation pool is per (column, dest
-    # level); horizontal classes stay per (cell, face).
-    def dbody(d, carry):
-        dst1, shipped, scale_p, ovf = carry
-        is_v = d < nz
-        cap_d = jnp.where(is_v, Av, Ah)
-        base_d = jnp.where(is_v, d * Av, nz * Av + (d - nz) * Ah)
-        mask4 = dcode4 == d
-        m_f4 = mask4.astype(jnp.float32)
-        rank_cell = jnp.cumsum(m_f4, axis=-1) - 1.0
-        cnt_cell = jnp.sum(m_f4, axis=-1)              # [nz, ny, nx]
-        offs = jnp.cumsum(cnt_cell, axis=0) - cnt_cell  # exclusive over ks
-        rank4 = rank_cell + jnp.where(is_v, offs[..., None], 0.0)
-        rank_d = rank4.astype(jnp.int32)
-        ship4 = mask4 & (rank_d < cap_d)
-        num_tot_c = jnp.sum(m_f4 * num4, axis=-1)      # [nz, ny, nx]
-        num_shp_c = jnp.sum(jnp.where(ship4, num4, 0.0), axis=-1)
-        num_tot = jnp.where(is_v, jnp.sum(num_tot_c, 0, keepdims=True),
-                            num_tot_c)
-        num_shp = jnp.where(is_v, jnp.sum(num_shp_c, 0, keepdims=True),
-                            num_shp_c)
-        sc_d = jnp.where(num_shp > 0.0,
-                         num_tot / jnp.maximum(num_shp, 1e-300), 1.0)
-        # overflow counts movers beyond the pool cap; jnp.where broadcasts
-        # the [1, ny, nx] column pool over nz, so its sum is divided back
-        cnt_pool = jnp.where(is_v, jnp.sum(cnt_cell, 0, keepdims=True),
-                             cnt_cell)
-        ovf = ovf + (jnp.sum(jnp.maximum(cnt_pool - cap_d, 0.0))
-                     / jnp.where(is_v, jnp.float32(nz), 1.0))
-        dst1 = jnp.where(ship4.reshape(C, P),
-                         base_d + rank_d.reshape(C, P), dst1)
-        shipped = shipped | ship4.reshape(C, P)
-        scale_p = jnp.where(ship4, jnp.broadcast_to(sc_d[..., None],
-                                                    ship4.shape),
-                            scale_p.reshape(ship4.shape)).reshape(C, P)
-        return dst1, shipped, scale_p, ovf
+    # ---- phase 1a: loop-free ranks/caps/conservation via the class one-hot
+    oh = (dcode[:, None, :] == jnp.arange(D, dtype=jnp.int32)[None, :, None]
+          ).astype(jnp.bfloat16)                       # [C, D, P] 0/1 exact
 
-    dst1, shipped, scale_p, ovf_class = lax.fori_loop(
-        0, D, dbody,
-        (jnp.full((C, P), -1, jnp.int32), jnp.zeros((C, P), bool),
-         jnp.ones((C, P), jnp.float32), jnp.zeros((), jnp.float32)))
+    # within-cell rank per class: rank[c,d,p] = #{q < p : dcode[c,q] = d},
+    # realized as one [C*D, P] x [P, P] bf16 MXU matmul with f32 accumulation
+    # (exact for counts < 2^24); only the diagonal-in-d slice (the particle's
+    # own class) is reduced out, chunked over D when the f32 prefix
+    # intermediate would exceed ~1.5 GB
+    tri = (jnp.arange(P, dtype=jnp.int32)[:, None]
+           < jnp.arange(P, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
 
-    # class-overflow conservation: shipped movers of each (cell, class)
-    # carry the full departing represented number
-    num_all = jnp.where(shipped, num_flat * jnp.maximum(scale_p, 1.0),
-                        num_flat)
+    def _rank_of(oh_b):
+        pre = jnp.einsum("cdq,qp->cdp", oh_b, tri,
+                         preferred_element_type=jnp.float32)
+        return jnp.einsum("cdp,cdp->cp", oh_b, pre)
 
-    # ---- phase 1b: the num channel flows T1 -> reorder once, fixing the
-    # arrival thinning, placement ranks and conservation factors that every
-    # other channel then reuses
+    d_chunk = max(1, min(D, int(6e8 // max(C * P * 4, 1))))
+    if d_chunk >= D:
+        rank_p = _rank_of(oh)
+    else:
+        n_dc = -(-D // d_chunk)
+        ohp = jnp.pad(oh, ((0, 0), (0, n_dc * d_chunk - D), (0, 0)))
+        parts = lax.map(_rank_of,
+                        jnp.moveaxis(ohp.reshape(C, n_dc, d_chunk, P), 1, 0))
+        rank_p = jnp.sum(parts, axis=0)
+
+    cnt = jnp.sum(oh, axis=-1, dtype=jnp.float32)      # [C, D]
+    cnt4 = cnt.reshape(nz, nyl, nxl, D)
+    # column-global vertical ranks, visiting source levels in a randomly
+    # rotated order each step (removes the deterministic low-level-first
+    # shipping bias under cap saturation, ADVICE r4 #1)
+    rot = jax.random.randint(k_rot, (), 0, nz)
+    a = jnp.roll(cnt4, -rot, axis=0)
+    offs_rot = jnp.cumsum(a, axis=0) - a               # exclusive scan
+    offs4 = jnp.roll(offs_rot, rot, axis=0)            # [nz, ny, nx, D]
+    is_v_d = jnp.arange(D) < nz
+    offs_cd = jnp.where(is_v_d, offs4, 0.0).reshape(C, D)
+    offs_p = jnp.einsum("cdp,cd->cp", oh, offs_cd)
+    rank_g = (rank_p + offs_p).astype(jnp.int32)       # [C, P]
+
+    is_v_p = dcode < nz
+    cap_p = jnp.where(is_v_p, Av, Ah)
+    ship = mover & (rank_g < cap_p)
+    base_p = jnp.where(is_v_p, dcode * Av, nz * Av + (dcode - nz) * Ah)
+    dst1 = jnp.where(ship, base_p + rank_g, -1)        # [C, P]
+
+    # pool conservation scale: shipped movers of each pool carry the pool's
+    # full departing represented number (vertical pools span the column)
+    tot_cd = jnp.einsum("cdp,cp->cd", oh, num_flat)
+    shp_cd = jnp.einsum("cdp,cp->cd", oh,
+                        jnp.where(ship, num_flat, 0.0))
+    tot4 = tot_cd.reshape(nz, nyl, nxl, D)
+    shp4 = shp_cd.reshape(nz, nyl, nxl, D)
+    tot_pool = jnp.where(is_v_d, jnp.sum(tot4, 0, keepdims=True), tot4)
+    shp_pool = jnp.where(is_v_d, jnp.sum(shp4, 0, keepdims=True), shp4)
+    sc4 = jnp.where(shp_pool > 0.0,
+                    tot_pool / jnp.maximum(shp_pool, 1e-300), 1.0)
+    sc_cd = jnp.broadcast_to(sc4, (nz, nyl, nxl, D)).reshape(C, D)
+    scale_p = jnp.einsum("cdp,cd->cp", oh, sc_cd)
+    num_all = jnp.where(ship, num_flat * jnp.maximum(scale_p, 1.0), num_flat)
+
+    # class-overflow diag: movers beyond each pool's cap
+    cnt_pool_v = jnp.sum(cnt4, axis=0)[..., :nz]       # [ny, nx, dest-level]
+    ovf_class = (jnp.sum(jnp.maximum(cnt_pool_v - Av, 0.0))
+                 + jnp.sum(jnp.maximum(cnt4[..., nz:] - Ah, 0.0)))
+
+    # ---- T1: full payload (num first) through the mover mini-regions in
+    # channel slabs.  Slabs are a statically unrolled Python loop, each
+    # stacking only its own channels from the SoA fields — the monolithic
+    # [C, CH, P] payload is never materialized, and the expensive per-cell
+    # one-hot builds amortize over each slab's 3*chb MXU rows.
+    parts = [a.reshape(C, P) for a in payload_channel_list(aero)]
+    parts[0] = num_all
+    CH = len(parts)
     roll = roll_fn or (lambda slab, shift, axis: jnp.roll(slab, shift, axis))
-    num_src = jnp.where(shipped, num_all, 0.0)
-    minis_n = scatter_rows(num_src[:, None, :], dst1, F1)  # [C, 1, F1]
-    a_num = _reorder_minis(minis_n, nz, nyl, nxl, 1, Av, Ah, roll)[:, 0, :]
+    if ch_block is None:
+        budget = 3 * 1024 ** 3
+        per_ch = C * F1 * 4 * 2    # minis + reorder transient per channel
+        ch_block = max(4, min(CH, MAX_CH, budget // max(per_ch, 1)))
+    ch_block = min(ch_block, CH, MAX_CH)
+    n_blk = -(-CH // ch_block)
+    # balance slab widths (e.g. 33 channels -> 17 + 16, not 28 + 5)
+    ch_block = -(-CH // n_blk)
+    bounds = [(b * ch_block, min((b + 1) * ch_block, CH))
+              for b in range(n_blk)]
 
-    # destination-side preweight thinning of arrivals (equivalent to the
-    # reference's source-side weight-ratio thinning — the Bernoulli draw is
-    # independent of the move)
-    u = jax.random.uniform(key, (C, AB))
+    def t1_block(pb):
+        src = jnp.where(ship[:, None, :], pb, 0.0)
+        minis_b = scatter_rows(src, dst1, F1)
+        return _reorder_minis(minis_b, nz, nyl, nxl, pb.shape[1], Av, Ah,
+                              roll)
+
+    arr_slabs = [t1_block(jnp.stack(parts[lo:hi], axis=1))
+                 for lo, hi in bounds]                 # each [C, chb, AB]
+
+    # ---- phase 1b (all on [C, AB]): destination-side preweight thinning
+    # (equivalent to the reference's source-side weight-ratio thinning — the
+    # Bernoulli draw is independent of the move), then arrival/free ranks
+    a_num = arr_slabs[0][:, 0, :]
+    u = jax.random.uniform(k_thin, (C, AB))
     acc_c = acc.reshape(C, 1)
     keep = (u < acc_c) & (a_num > 0.0)
-    a_num = jnp.where(keep, a_num / jnp.maximum(acc_c, 1e-6), 0.0)
+    a_num_th = jnp.where(keep, a_num / jnp.maximum(acc_c, 1e-6), 0.0)
+    tot_arr = jnp.sum(a_num_th, axis=-1)
 
-    # T2 placement maps: arrivals fill the free slots of their destination
-    a_alive = a_num > 0.0
-    a_rank = jnp.cumsum(a_alive.astype(jnp.int32), axis=-1) - 1
-    stay_keep = (aero.alive & ~drop & ~mover.reshape(aero.num.shape)
-                 ).reshape(C, P)
+    stay_keep = (aero.alive & ~drop).reshape(C, P) & ~mover
     free = ~stay_keep
     n_free = jnp.sum(free, axis=-1)
     f_rank = jnp.cumsum(free.astype(jnp.int32), axis=-1) - 1
-    # slot index (+1) of the r-th free slot, via a tiny iota scatter
-    slot1 = (lax.broadcasted_iota(jnp.int32, (C, 1, P), 2) + 1
-             ).astype(jnp.float32)
-    dstf = jnp.where(free & (f_rank < AB), f_rank, -1)
-    slot_of_rank = scatter_rows(slot1, dstf, AB)           # [C, 1, AB]
-    placed = a_alive & (a_rank < n_free[:, None])
-    tot_arr = jnp.sum(a_num, axis=-1)
-    ovf_free = jnp.sum(jnp.where(a_alive & ~placed, 1.0, 0.0))
-    srcr = jnp.where(placed, a_rank, -1)
-    dst_slot = jnp.round(gather_rows(slot_of_rank, srcr)[:, 0, :]
-                         ).astype(jnp.int32) - 1           # [C, AB]
+    k_rank = jnp.cumsum(keep.astype(jnp.int32), axis=-1) - 1
+    placed = keep & (k_rank < n_free[:, None])
+    n_kept = jnp.sum(placed.astype(jnp.int32), axis=-1)
+    ovf_free = jnp.sum(jnp.where(keep & ~placed, 1.0, 0.0))
 
-    # merged num + the free-slot overflow conservation fold: arrival number
-    # that could not be placed (cell saturated with stayers) is folded onto
-    # the whole cell by a multiplicity rescale — the bucket-level
-    # conservation the reference's weight rescale provides under convergent
-    # flow (``wrf_pmc_trans_aero.F90:1374-1402``)
-    arrived_n = scatter_rows(a_num[:, None, :], dst_slot, P)[:, 0, :]
-    merged_num = arrived_n + num_all * stay_keep
-    stay_num = jnp.sum(jnp.where(stay_keep, num_all, 0.0), axis=-1)
+    # ---- T2 per slab: compact kept arrivals by rank (small AB-wide
+    # scatter), then every free slot gathers its rank'th arrival; stayers
+    # merge from a freshly stacked payload slab (transients stay slab-sized)
+    dstc = jnp.where(placed, k_rank, -1)
+    srcp = jnp.where(free & (f_rank < n_kept[:, None]), f_rank, -1)
+    sk = stay_keep[:, None, :]
+    merged_slabs = []
+    for (lo, hi), arr_b in zip(bounds, arr_slabs):
+        if lo == 0:
+            arr_b = jnp.concatenate([a_num_th[:, None, :], arr_b[:, 1:, :]],
+                                    axis=1)
+        arrc_b = scatter_rows(arr_b, dstc, AB)
+        arrived_b = gather_rows(arrc_b, srcp)          # [C, chb, P]
+        pay_b = jnp.stack(parts[lo:hi], axis=1)
+        merged_slabs.append(arrived_b + pay_b * sk)
+
+    # free-slot overflow conservation fold: arrival number that could not be
+    # placed (cell saturated with stayers) is folded onto the whole cell by
+    # a multiplicity rescale — the bucket-level conservation the reference's
+    # weight rescale provides under convergent flow
+    # (``wrf_pmc_trans_aero.F90:1374-1402``)
+    merged_num = merged_slabs[0][:, 0, :]
+    stay_num = jnp.sum(jnp.where(stay_keep, num_flat, 0.0), axis=-1)
     actual = jnp.sum(merged_num, axis=-1)
     scale_cell = jnp.where(actual > 0,
                            (stay_num + tot_arr) / jnp.maximum(actual, 1e-300),
                            1.0)
     merged_num = merged_num * jnp.maximum(scale_cell, 1.0)[:, None]
+    merged_slabs[0] = jnp.concatenate(
+        [merged_num[:, None, :], merged_slabs[0][:, 1:, :]], axis=1)
+    merged = jnp.concatenate(merged_slabs, axis=1)     # [C, CH, P]
 
-    # ---- phase 2: remaining channels in ch_block slabs (sequential under
-    # lax.map -> peak mover-buffer memory is one slab)
-    payload = pack_payload(aero)                           # [C, CH, P]
-    CH = payload.shape[1]
-    rest = payload[:, 1:, :]                               # non-num channels
-    n_rest = CH - 1
-    if ch_block is None:
-        # adaptive slab width: the place-engine MXU runs at M = 3*ch_block
-        # of its 128-row tile, so wider slabs are ~linearly faster — take
-        # the widest that (a) keeps the transient mover buffers
-        # (minis + reorder + arrivals, ~3 copies) under a fixed HBM budget
-        # and (b) fits the bf16x3 M tile (place.MAX_CH)
-        from ...ops.place import MAX_CH
-
-        budget = 2 * 1024 ** 3
-        per_ch = C * F1 * 4 * 3
-        ch_block = max(8, min(n_rest, MAX_CH, budget // max(per_ch, 1)))
-    n_blk = -(-n_rest // ch_block)
-    pad = n_blk * ch_block - n_rest
-    rest = jnp.pad(rest, ((0, 0), (0, pad), (0, 0)))
-    blocks = jnp.moveaxis(rest.reshape(C, n_blk, ch_block, P), 1, 0)
-
-    mover_mask = shipped                                   # only they ship
-
-    def move_block(pb):
-        src = jnp.where(mover_mask[:, None, :], pb, 0.0)
-        minis_b = scatter_rows(src, dst1, F1)
-        arr_b = _reorder_minis(minis_b, nz, nyl, nxl, ch_block, Av, Ah,
-                               roll)
-        arrived_b = scatter_rows(arr_b, dst_slot, P)
-        return arrived_b + pb * stay_keep[:, None, :]
-
-    merged_rest = lax.map(move_block, blocks)
-    merged_rest = jnp.moveaxis(merged_rest, 0, 1).reshape(C, n_blk * ch_block,
-                                                          P)[:, :n_rest]
-    merged = jnp.concatenate([merged_num[:, None, :], merged_rest], axis=1)
     new = unpack_payload(aero, merged)
     diag = {"overflow_class": ovf_class, "overflow_free": ovf_free,
             "movers": jnp.sum(mover.astype(jnp.float32))}

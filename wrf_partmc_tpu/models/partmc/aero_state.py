@@ -141,6 +141,22 @@ def payload_channels(state: AeroState) -> int:
 _PID_SPLIT = 4096
 
 
+def payload_channel_list(state: AeroState) -> list:
+    """The per-particle payload as a list of CH [..., P] f32 arrays in
+    pack order — callers that process the payload in channel slabs (the
+    transport rebucket) stack only the slab they need, so the monolithic
+    [C, CH, P] tensor is never materialized."""
+    f = lambda a: a.astype(jnp.float32)
+    parts = [state.num, state.t_create,
+             f(state.pid % _PID_SPLIT), f(state.pid // _PID_SPLIT),
+             f(state.source), f(state.w_class)]
+    parts += [state.vol[..., s, :] for s in range(state.vol.shape[-2])]
+    parts += [state.src_vol[..., k, :] for k in range(state.n_src_comp)]
+    parts += [f(state.src_id[..., k, :]) for k in range(state.n_src_comp)]
+    parts.append(f(state.hyst_leg))
+    return parts
+
+
 def pack_payload(state: AeroState):
     """All per-particle fields as one channel-first [C, CH, P] f32 tensor.
 
@@ -154,15 +170,7 @@ def pack_payload(state: AeroState):
     vol(S), src_vol(K), src_id(K), hyst_leg].  hyst_leg rides last so the
     coagulation payload slices (``coag.py`` 6:6+S etc.) keep their offsets;
     the merged particle inherits the surviving (small-side) row's leg."""
-    f = lambda a: a.astype(jnp.float32)
-    parts = [state.num, state.t_create,
-             f(state.pid % _PID_SPLIT), f(state.pid // _PID_SPLIT),
-             f(state.source), f(state.w_class)]
-    parts += [state.vol[..., s, :] for s in range(state.vol.shape[-2])]
-    parts += [state.src_vol[..., k, :] for k in range(state.n_src_comp)]
-    parts += [f(state.src_id[..., k, :]) for k in range(state.n_src_comp)]
-    parts.append(f(state.hyst_leg))
-    payload = jnp.stack(parts, axis=-2)            # [*cell, CH, P]
+    payload = jnp.stack(payload_channel_list(state), axis=-2)  # [*cell, CH, P]
     return payload.reshape(-1, payload_channels(state), state.capacity)
 
 

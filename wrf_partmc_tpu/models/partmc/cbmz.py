@@ -591,7 +591,8 @@ def ros2_substep_w(mech: Mechanism, conc, k_ppb, h, a_inv):
 
 
 def cbmz_step(mech: Mechanism, gas_ppb, temp, pressure, rh, cosz, dt,
-              n_sub: int = 6, w_method: bool = True):
+              n_sub: int = 6, w_method: bool = True,
+              cell_block: int = 8192):
     """Advance the gas mechanism by dt over every cell.
 
     gas_ppb: [..., S] (S = mech.n_spec); temp/pressure/rh/cosz: [...] or
@@ -604,28 +605,45 @@ def cbmz_step(mech: Mechanism, gas_ppb, temp, pressure, rh, cosz, dt,
     classic per-substep refactorization is kept for reference
     (w_method=False) and agrees to within the solver tolerance on the
     golden photochemistry tests.
+
+    ``cell_block``: cells are solved in blocks of this size under
+    ``lax.map``, so the dense per-cell [S, S] operators (23 KB/cell at
+    S = 77 — 2.9 GB per live buffer at a CARES-shaped 75k cells, the r4
+    single-chip HBM ceiling) only ever exist for one block at a time.
+    Chemistry is embarrassingly parallel over cells, so blocking costs only
+    ``lax.map`` sequencing on the 1-in-m chem-dt steps.
     """
     cell = gas_ppb.shape[:-1]
+    S = gas_ppb.shape[-1]
     T = jnp.broadcast_to(jnp.asarray(temp, jnp.float32), cell)
     P = jnp.broadcast_to(jnp.asarray(pressure, jnp.float32), cell)
     RH = jnp.broadcast_to(jnp.asarray(rh, jnp.float32), cell)
     MU = jnp.broadcast_to(jnp.asarray(cosz, jnp.float32), cell)
-    k_ppb = rate_coefficients(mech, T, P, RH, MU)
     h = jnp.asarray(dt, jnp.float32) / n_sub
-    conc0 = gas_ppb.astype(jnp.float32)
+    N = 1
+    for s in cell:
+        N *= s
 
-    if w_method:
-        S = conc0.shape[-1]
-        J = jacobian(mech, conc0, k_ppb)
-        A = jnp.eye(S, dtype=conc0.dtype) - _ROS_GAMMA * h * J
-        a_inv = fast_inv(A)
-
-        def body(i, conc):
-            return ros2_substep_w(mech, conc, k_ppb, h, a_inv)
-
+    def solve_block(args):
+        conc0, Tb, Pb, RHb, MUb = args
+        k_ppb = rate_coefficients(mech, Tb, Pb, RHb, MUb)
+        if w_method:
+            J = jacobian(mech, conc0, k_ppb)
+            A = jnp.eye(S, dtype=conc0.dtype) - _ROS_GAMMA * h * J
+            a_inv = fast_inv(A)
+            body = lambda i, conc: ros2_substep_w(mech, conc, k_ppb, h,
+                                                  a_inv)
+        else:
+            body = lambda i, conc: ros2_substep(mech, conc, k_ppb, h)
         return jax.lax.fori_loop(0, n_sub, body, conc0)
 
-    def body(i, conc):
-        return ros2_substep(mech, conc, k_ppb, h)
-
-    return jax.lax.fori_loop(0, n_sub, body, conc0)
+    conc0 = gas_ppb.astype(jnp.float32).reshape(N, S)
+    flat = (conc0, T.reshape(N), P.reshape(N), RH.reshape(N), MU.reshape(N))
+    if N <= cell_block:
+        return solve_block(flat).reshape(*cell, S)
+    nb = -(-N // cell_block)
+    padn = nb * cell_block - N
+    stacked = tuple(jnp.pad(x, ((0, padn),) + ((0, 0),) * (x.ndim - 1))
+                    .reshape(nb, cell_block, *x.shape[1:]) for x in flat)
+    out = jax.lax.map(solve_block, stacked)
+    return out.reshape(nb * cell_block, S)[:N].reshape(*cell, S)

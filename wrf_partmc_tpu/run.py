@@ -142,10 +142,14 @@ def run(cfg: Config, case: str, outdir: str, seed: int = 0,
                                               key, diag_out=True))
     tdiag_acc = {k: 0.0 for k in ("overflow_class", "overflow_free",
                                   "movers")}
+    _warned_overflow = False
     # per-particle coagulation removal records (aero_info equivalent),
     # compressed host-side to (step, cell, removed_id, other_id) rows and
-    # flushed to their own stream at each history alarm
+    # flushed to their own stream at each history alarm; the [cells, P/2]
+    # event arrays only carry data on chem macro-steps, so the host pull
+    # is skipped off-cadence (ADVICE r4 #4)
     aero_info_rows = []
+    m_chem = max(1, int(round(cfg.partmc.partmc_chem_dt / cfg.dynamics.dt)))
 
     n_hist = 0
     while not clock.done():
@@ -192,11 +196,24 @@ def run(cfg: Config, case: str, outdir: str, seed: int = 0,
                         os.path.join(outdir, f"restart_{clock.step:06d}.npz"),
                         cs, writer=quilt)
         with timers.section("coupled_step"):
+            was_chem_step = (clock.step % m_chem) == 0
             cs, step_td = step1(cs, scn)
             cs = jax.block_until_ready(cs)
             for k_ in tdiag_acc:
                 tdiag_acc[k_] += float(step_td[k_])
-            if "coag_removed_id" in step_td:
+            # mover-cap saturation warning (ADVICE r4 #1): a high
+            # overflow_class fraction means the conserving rescale is
+            # biasing mixing-state diversity — raise trans_cap_v
+            if (not _warned_overflow and tdiag_acc["movers"] > 0
+                    and tdiag_acc["overflow_class"]
+                    > 0.02 * tdiag_acc["movers"]):
+                print("WARNING: transport mover-cap overflow exceeds 2% of "
+                      f"movers ({tdiag_acc['overflow_class']:.0f} of "
+                      f"{tdiag_acc['movers']:.0f}); consider raising "
+                      "partmc.trans_cap_v (e.g. 2*num_particles/nz) for "
+                      "this regime")
+                _warned_overflow = True
+            if "coag_removed_id" in step_td and was_chem_step:
                 import numpy as _np
 
                 rid = _np.asarray(step_td["coag_removed_id"])
@@ -211,6 +228,12 @@ def run(cfg: Config, case: str, outdir: str, seed: int = 0,
         if verbose and clock.step % 50 == 0:
             print(f"step {clock.step}  t={clock.t:.0f}s  maxrss={memtrack_mb():.0f} MB")
 
+    if aero_info_rows:     # flush records accumulated since the last alarm
+        from .utils.io import write_aero_removed
+
+        write_aero_removed(
+            os.path.join(outdir, f"aero_removed_{clock.step:06d}.nc"),
+            aero_info_rows, writer=quilt)
     write_restart(os.path.join(outdir, "restart_final.npz"), cs)
     quilt.flush()
     if verbose:

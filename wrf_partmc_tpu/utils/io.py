@@ -369,9 +369,32 @@ def write_restart_netcdf(path: str, cs: CoupledState, aero_data, grid,
             var(name, ("y", "x"), val)
         else:
             var(name, dims3["z"], val)
-    if cs.land is not None:                    # slab-LSM state (tsk, t_deep)
-        var("tsk", ("y", "x"), cs.land.tsk)
-        var("t_deep", ("y", "x"), cs.land.t_deep)
+    # physics state: LSM (slab LandState or Noah 4-layer NoahState —
+    # serialized generically by dataclass field so every prognostic soil
+    # variable round-trips, mirroring the reference's full restart,
+    # ``share/wrf_restartin.F``), MYJ TKE, removal accumulators
+    if cs.land is not None:
+        f.land_type = type(cs.land).__name__.encode()
+        f.createDimension("soil", 8)     # generous static soil-layer dim
+        for fld in dataclasses.fields(cs.land):
+            val = np.asarray(getattr(cs.land, fld.name))
+            typ = "i" if val.dtype.kind == "i" else "f"
+            if val.ndim == 2:
+                v = f.createVariable(f"land_{fld.name}", typ, ("y", "x"))
+                v[:] = val
+            else:                        # [n_layer, ny, nx]
+                v = f.createVariable(f"land_{fld.name}", typ,
+                                     ("soil", "y", "x"))
+                buf = np.zeros((8, *val.shape[1:]), val.dtype)
+                buf[:val.shape[0]] = val
+                v[:] = buf
+                f.__setattr__(f"land_{fld.name}_nlayer", np.int32(
+                    val.shape[0]))
+    if cs.pbl_q2 is not None:            # MYJ level-2.5 twice-TKE
+        var("pbl_q2", dims3["z_stag"], cs.pbl_q2)
+    if cs.removals is not None:          # cumulative removal counters
+        for cause, arr in sorted(cs.removals.items()):
+            var(f"removed_num_{cause}", dims3["z"], arr)
     f.step = int(cs.step)
     out.close()
 
@@ -392,13 +415,35 @@ def read_restart_netcdf(path: str, template: CoupledState, aero_data=None):
                                    jnp.float32)
     step = int(getattr(f, "step", 0))
     land = template.land
-    if land is not None and "tsk" in f.variables:
-        land = dataclasses.replace(
-            land,
-            tsk=jnp.asarray(np.array(f.variables["tsk"][:]), jnp.float32),
-            t_deep=jnp.asarray(np.array(f.variables["t_deep"][:]),
-                               jnp.float32))
+    if land is not None:
+        lkw = {}
+        for fld in dataclasses.fields(land):
+            name = f"land_{fld.name}"
+            legacy = fld.name if fld.name in ("tsk", "t_deep") else None
+            if name in f.variables:
+                raw = np.array(f.variables[name][:])
+            elif legacy and legacy in f.variables:   # pre-r5 slab files
+                raw = np.array(f.variables[legacy][:])
+            else:
+                continue
+            tmpl = np.asarray(getattr(land, fld.name))
+            if raw.ndim == 3:                        # stored in padded soil dim
+                nl = int(getattr(f, f"land_{fld.name}_nlayer", tmpl.shape[0]))
+                raw = raw[:nl]
+            lkw[fld.name] = jnp.asarray(raw, tmpl.dtype)
+        land = dataclasses.replace(land, **lkw)
+    pbl_q2 = template.pbl_q2
+    if pbl_q2 is not None and "pbl_q2" in f.variables:
+        pbl_q2 = jnp.asarray(np.array(f.variables["pbl_q2"][:]), jnp.float32)
+    removals = template.removals
+    if removals is not None:
+        removals = {
+            cause: (jnp.asarray(np.array(
+                f.variables[f"removed_num_{cause}"][:]), jnp.float32)
+                if f"removed_num_{cause}" in f.variables else arr)
+            for cause, arr in removals.items()}
     f.close()
     dyn = dataclasses.replace(dyn, **kw)
     return dataclasses.replace(template, dyn=dyn, aero=aero, gas=gas,
-                               step=jnp.asarray(step, jnp.int32), land=land)
+                               step=jnp.asarray(step, jnp.int32), land=land,
+                               pbl_q2=pbl_q2, removals=removals)
