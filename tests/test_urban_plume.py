@@ -1,0 +1,163 @@
+"""Urban-plume trajectory validation (VERDICT r4 item 3).
+
+Drives the 0-D particle-resolved box model through the classic PartMC
+urban-plume scenario — inputs modeled on the reference's own copy
+(``WRFV3/test/em_scm_xy/``: aero_init_dist.dat, gas_init.dat, gas_emit.dat,
+aero_emit_*.dat, *_back.dat; driver semantics
+``interface/wrf_pmc_driver.F90:46-254``) — and pins the 24 h *trajectories*
+against the published PartMC-MOSAIC results:
+
+* Riemer, West, Zaveri & Easter (2009), JGR 114 D09202, "Simulating the
+  evolution of soot mixing state with a particle-resolved aerosol model":
+  O3 rising from 50 ppb to a ~100 ppb late-afternoon peak; NH3 depletion
+  via NH4NO3 formation; number concentration peaking ~1e10 m^-3 during the
+  morning emission period under the shallow (290 m) mixed layer, decaying
+  to a few 1e9 m^-3 by hour 24 through dilution + coagulation.
+* Riemer & West (2013), ACP 13 11423, "Quantifying aerosol mixing state
+  with entropy and diversity measures": the mixing-state index chi of this
+  scenario starts ~1 (internally-mixed background), is pulled DOWN by the
+  externally-mixed fresh BC/OC emissions, and recovers as condensational
+  aging re-internalizes the population.
+
+Tolerance bands are deliberately generous — digitized by eye from the
+published figures, then widened to cover scheme-level differences (this
+framework's CBM-Z uses a cos^b clear-sky photolysis parameterization, not
+TUV; MESA-lite carries no activity coefficients) and Monte-Carlo noise at
+~1000 computational particles.  Each band states its published anchor.
+
+This test is also the regression guard for the r5 jit-correctness bug it
+uncovered: XLA constant-folding of Boltzmann-scale factors underflowed f32
+and silently zeroed O3P+O2->O3 under jit (daytime O3 collapsed to ~2 ppb);
+see the optimization_barrier in cbmz.rate_coefficients.
+"""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools"))
+
+
+@pytest.mark.slow
+def test_urban_plume_24h_trajectories():
+    from urban_plume import build_urban_plume
+
+    from wrf_partmc_tpu.models.partmc.bin_grid import make_bin_grid
+    from wrf_partmc_tpu.models.partmc.box_model import run_box
+    from wrf_partmc_tpu.models.partmc.diagnostics import process
+
+    aero, gas, scn, benv, ad, gd, mech = build_urban_plume(P=1024,
+                                                           n_ideal=512)
+    bg = make_bin_grid(40, 1e-9, 1e-5)
+    proc = jax.jit(lambda a, e: process(a, ad, e, bg, advanced=False))
+
+    # t = 0: the background population is a single internally-mixed
+    # composition -> chi ~ 1 (Riemer & West 2013 eq. 15: D_alpha = D_gamma)
+    from wrf_partmc_tpu.models.partmc.box_model import make_env_state
+
+    chi0 = float(proc(aero, make_env_state(benv, 0.0)).chi[0, 0, 0])
+    assert chi0 > 0.9, f"initial population not internally mixed: chi={chi0}"
+
+    hours = []
+    traj = {k: [] for k in ("O3", "NO", "HNO3", "NH3", "N2O5", "chi",
+                            "N_tot", "no3_ug", "pm25_ug")}
+
+    def observe(t, a, g, env):
+        if int(round(t)) % 3600 != 0:
+            return
+        d = proc(a, env)
+        gi = lambda n: float(g[0, 0, 0, gd.spec_by_name(n)])
+        hours.append(t / 3600.0)
+        traj["O3"].append(gi("O3"))
+        traj["NO"].append(gi("NO"))
+        traj["HNO3"].append(gi("HNO3"))
+        traj["NH3"].append(gi("NH3"))
+        traj["N2O5"].append(gi("N2O5"))
+        traj["chi"].append(float(d.chi[0, 0, 0]))
+        traj["N_tot"].append(float(a.total_num()[0, 0, 0]))
+        traj["no3_ug"].append(
+            float((a.vol[0, 0, 0, ad.spec_by_name("NO3")]
+                   * a.num[0, 0, 0]).sum()) * 1800.0 * 1e9)
+        traj["pm25_ug"].append(float(d.pm25[0, 0, 0]) * 1e9)
+
+    run_box(aero, gas, scn, benv, ad, gd, mech, t_end=24 * 3600.0,
+            dt=300.0, observer=observe)
+    h = np.asarray(hours)
+    T = {k: np.asarray(v) for k, v in traj.items()}
+    assert len(h) == 24
+
+    # --- O3: 50 ppb start, afternoon peak, nocturnal decline -----------
+    # (Riemer 2009 Fig. 2: peak ~100 ppb 8-11 h after the 06:00 start;
+    # band widened to [65, 170] x [4 h, 13 h] for photolysis-scheme slack)
+    i_pk = int(np.argmax(T["O3"]))
+    assert 65.0 <= T["O3"][i_pk] <= 170.0, f"O3 peak {T['O3'][i_pk]}"
+    assert 4.0 <= h[i_pk] <= 13.0, f"O3 peak hour {h[i_pk]}"
+    assert T["O3"][-1] < T["O3"][i_pk], "no nocturnal O3 decline"
+    assert 20.0 <= T["O3"][-1] <= 110.0
+
+    # --- NOx/NOy partitioning ------------------------------------------
+    # NH3 near-depletion during the morning uptake (Riemer 2009: NH3 -> ~0
+    # as NH4NO3 forms); daytime HNO3 accumulation of a few ppb; nocturnal
+    # N2O5 appears after photolysis shuts off
+    assert T["NH3"].min() < 0.3, f"NH3 never depleted: min {T['NH3'].min()}"
+    assert 1.0 <= T["HNO3"].max() <= 25.0, f"HNO3 max {T['HNO3'].max()}"
+    night = h >= 12.0
+    assert T["N2O5"][night].max() > 0.02, "no nocturnal N2O5"
+    assert T["NO"][night].max() < 1.0, "NO not titrated at night"
+
+    # --- number concentration ------------------------------------------
+    # emissions under the 290 m morning layer push N to ~1e10 m^-3; coag +
+    # dilution decay it to a few 1e9 by hour 24 (Riemer 2009 Fig. 3)
+    assert 6.0e9 <= T["N_tot"].max() <= 4.0e10, f"N max {T['N_tot'].max()}"
+    assert 1.5e9 <= T["N_tot"][-1] <= 1.2e10, f"N(24h) {T['N_tot'][-1]}"
+    assert T["N_tot"][-1] < 0.75 * T["N_tot"].max(), "no number decay"
+
+    # --- secondary inorganic aerosol -----------------------------------
+    # particulate nitrate forms (NH4NO3; Riemer 2009 reports several
+    # ug/m3 episodes) — require at least transient NO3 aerosol
+    assert T["no3_ug"].max() > 0.3, f"no particulate NO3 ({T['no3_ug'].max()})"
+    assert T["pm25_ug"].min() > 1.0          # population never vanishes
+
+    # --- mixing state (Riemer & West 2013 Fig. 10) ----------------------
+    # fresh externally-mixed BC/OC pulls chi down from ~1; aging partially
+    # recovers it.  Bands widened for MC noise at ~1000 particles.
+    chi = T["chi"]
+    assert 0.30 <= chi.min() <= 0.80, f"chi min {chi.min()}"
+    assert chi.min() < chi0 - 0.15, "emissions never de-mixed the population"
+    late = chi[h >= 18.0]
+    assert late.mean() > chi.min(), "no aging recovery of chi"
+
+
+@pytest.mark.slow
+def test_urban_plume_night_start_no_photochemistry():
+    """Counterfactual guard: with photolysis forced dark (cosz = 0), the
+    same scenario must NOT produce an O3 peak — O3 only declines by NO
+    titration + deposition-free dilution.  Catches photolysis-rate wiring
+    regressions in either direction."""
+    import dataclasses
+
+    from urban_plume import build_urban_plume
+
+    from wrf_partmc_tpu.models.partmc.box_model import BoxEnv, run_box
+
+    aero, gas, scn, benv, ad, gd, mech = build_urban_plume(P=256,
+                                                           n_ideal=128)
+    dark = BoxEnv(temp=benv.temp, rel_humid=benv.rel_humid,
+                  pressure=benv.pressure, height=benv.height,
+                  cosz=lambda t: 0.0)
+    o3 = []
+
+    def observe(t, a, g, env):
+        if int(round(t)) % 3600 == 0:
+            o3.append(float(g[0, 0, 0, gd.spec_by_name("O3")]))
+
+    run_box(aero, gas, scn, dark, ad, gd, mech, t_end=8 * 3600.0,
+            dt=300.0, observer=observe)
+    o3 = np.asarray(o3)
+    assert o3.max() <= 55.0, f"dark run grew O3: {o3.max()}"
+    assert o3[-1] < o3[0] + 1.0

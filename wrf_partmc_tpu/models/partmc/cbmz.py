@@ -460,6 +460,14 @@ def rate_coefficients(mech: Mechanism, temp, pressure, rh, cosz):
     # water vapor number density from RH (Tetens over liquid)
     esat = 610.78 * jnp.exp(17.27 * (T - 273.15) / (T - 35.85))
     H2O = jnp.asarray(rh) * esat / (c.BOLTZMANN * T) * 1e-6
+    # CRITICAL: without this barrier XLA constant-folds the Boltzmann-scale
+    # factors of M/H2O into the rate-constant prefactors of the formulas
+    # below; products like 6.0e-34 * 0.21 * 1e-6 * 1e-6 underflow f32 to
+    # exact 0, silently zeroing O3P+O2->O3 (and halving the HO2+HO2 water
+    # enhancement) in jitted-with-traced-env runs while eager/constant-env
+    # paths stayed correct (found via urban-plume trajectory validation:
+    # daytime O3 collapsed under jit only)
+    T, M, H2O = jax.lax.optimization_barrier((T, M, H2O))
     J = photolysis_rates(cosz)
     ks = [fn(T, M, H2O, J) for fn in mech.rate_fns]
     k = jnp.stack([jnp.broadcast_to(ki, T.shape) for ki in ks], axis=-1)

@@ -127,6 +127,13 @@ def astem_inorganic(aero: AeroState, gas_ppb, gas_data: GasData,
     alive = aero.alive
     kelvin = jnp.exp(jnp.asarray(env.kelvin_A)[..., None] / diam)
     h = dt / n_sub
+    # prevent XLA from constant-folding the unit-conversion factors of the
+    # transfer chains (1e-9/R, Boltzmann scales) into the uptake-kernel
+    # prefactors — such folds underflow f32 and shifted the semi-volatile
+    # partition ~10% between jitted and eager execution (see the matching
+    # barrier + rationale in cbmz.rate_coefficients)
+    temp, pres, V, diam, kelvin = jax.lax.optimization_barrier(
+        (temp, pres, V, diam, kelvin))
 
     i_gas = {g: gas_data.spec_by_name(g) for g, _, _ in
              NONVOLATILE + SEMIVOLATILE}
