@@ -14,6 +14,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow
 def test_universe_discovers_40_classes():
     import __graft_entry__ as ge
 

@@ -4,6 +4,7 @@ conservation, and captured outflow probabilities."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from wrf_partmc_tpu.ops.advection import (advect_pd, face_fluxes,
     flux_divergence, rk3_advect_pd)
@@ -180,6 +181,7 @@ def test_mono_probs_uniform_flow():
 
 # ------------------------- WENO reconstructions (module_advect_em WENO) ----
 
+@pytest.mark.slow
 def test_weno5_translation_accuracy():
     """Gaussian after one periodic revolution with WENO5 faces: at least as
     accurate as the linear 5th-order scheme on a smooth profile."""

@@ -106,6 +106,7 @@ def test_nitrogen_closed_over_noy(mech):
     assert abs(n1 - n0) / n0 < 0.02
 
 
+@pytest.mark.slow
 def test_batched_cells_match_single(mech):
     idx = {n: i for i, n in enumerate(mech.names)}
     c0 = np.zeros(mech.n_spec, np.float32)
@@ -134,6 +135,7 @@ def test_cos_zenith_geometry():
     assert float(mu) < 0.0
 
 
+@pytest.mark.slow
 def test_w_method_stiff_accuracy_vs_dense_refactorization(mech):
     """Stiff-accuracy regression (VERDICT r4 item 5 / ADVICE r4 #2): the
     Rosenbrock-W path (frozen fast_inv operator) must track the classic
@@ -174,6 +176,7 @@ def test_w_method_stiff_accuracy_vs_dense_refactorization(mech):
                                    f"dt={dt} n_sub={n_sub} cosz={cz}")
 
 
+@pytest.mark.slow
 def test_fast_inv_matches_exact_inverse(mech):
     """fast_inv (no-pivot block-Schur + Newton-Schulz) vs jnp.linalg.inv on
     real chemistry operators A = I - gamma*h*J (ADVICE r4 #2): relative

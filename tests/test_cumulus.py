@@ -7,6 +7,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from wrf_partmc_tpu.config import Config, DomainConfig, DynamicsConfig
 from wrf_partmc_tpu.grid import make_grid
@@ -35,6 +36,7 @@ def _moist_unstable(cfg, grid, rh=0.95):
                                moist=s.moist.at[0].set(qv))
 
 
+@pytest.mark.slow
 def test_bmj_consumes_cape_conserves_enthalpy_and_rains():
     cfg = _cfg()
     grid = make_grid(cfg)

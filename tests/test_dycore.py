@@ -205,6 +205,7 @@ def test_tke_closure_shear_production_and_stability():
     assert float(diag.xkhh.max()) > 0.0
 
 
+@pytest.mark.slow
 def test_tke_stable_stratification_suppresses_mixing():
     """With strong stable stratification and no shear, TKE decays toward the
     floor and the stability-limited length scale shrinks K."""

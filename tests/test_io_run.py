@@ -138,6 +138,7 @@ def test_timers_and_memtrack():
     assert memtrack_mb() > 10.0
 
 
+@pytest.mark.slow
 def test_portable_netcdf_restart_capacity_change(tmp_path):
     """write_restart_netcdf / read_restart_netcdf: the portable restart
     schema reads back across particle-capacity changes with represented

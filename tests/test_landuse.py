@@ -6,6 +6,7 @@ directions."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from wrf_partmc_tpu.models.physics import lsm
 from wrf_partmc_tpu.models.physics.landuse import (
@@ -97,6 +98,7 @@ def test_noah_params_combined_keys():
         assert np.isfinite(np.asarray(p[k])).all()
 
 
+@pytest.mark.slow
 def test_wrfinput_category_roundtrip(tmp_path):
     """IVGTYP/ISLTYP written into a wrfinput flow through init_real into
     the Noah state built by build_model (the real_em -> Noah chain)."""

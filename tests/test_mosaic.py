@@ -74,6 +74,7 @@ def _aer_mass(aero, name):
     return float((aero.vol[s, :] * AD.density[s] * aero.num).sum())
 
 
+@pytest.mark.slow
 def test_h2so4_condenses_irreversibly():
     aero, gas = _population(), _gas(H2SO4=2.0)
     s0 = _total_mol(aero, gas, "H2SO4", "SO4")
@@ -137,6 +138,7 @@ def test_soa_partitions_into_organic_phase():
     assert float(g[IDX["ARO2"]]) > float(g[IDX["ARO1"]])
 
 
+@pytest.mark.slow
 def test_mosaic_timestep_changes_mixing_state():
     """The defining capability: initially externally-mixed population gains
     internally-mixed secondary coatings, per particle."""
@@ -230,6 +232,7 @@ def test_coupled_step_with_cbmz():
     assert d_o3 > 0.1, d_o3
 
 
+@pytest.mark.slow
 def test_batched_cells():
     """All-cells-at-once execution (the TPU layout) matches physics."""
     mech = build_mechanism()

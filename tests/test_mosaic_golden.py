@@ -149,3 +149,69 @@ def test_nh4no3_equilibrium_approaches_mozurkewich_kp():
     assert prod_warm < 400.0                       # moved well below 20*20
     assert kp_298 / 3.0 < prod_warm < kp_298 * 3.0, (prod_warm, kp_298)
     assert prod_cold < prod_warm
+
+
+@pytest.mark.slow
+def test_activity_corrected_kp_within_25_percent():
+    """r5 (VERDICT r4 item 7): with the Mozurkewich (1993) aqueous
+    activity correction on the deliquesced leg, the dynamically equilibrated
+    NH3*HNO3 product lands within 25% of the leg-appropriate dissociation
+    product — replacing the r4 factor-3 MESA-lite tolerance.  Anchors:
+    solid-phase fit (Mozurkewich 1993 eq. 6), aqueous correction
+    (Seinfeld & Pandis eq. 10.98-10.100)."""
+    import dataclasses
+
+    from wrf_partmc_tpu.models.partmc.aero_data import make_aero_data
+    from wrf_partmc_tpu.models.partmc.aero_state import fill_fresh
+    from wrf_partmc_tpu.models.partmc.env_state import EnvState
+    from wrf_partmc_tpu.models.partmc.gas_data import make_gas_data_cbmz
+    from wrf_partmc_tpu.models.partmc.mosaic import (astem_inorganic,
+                                                     kp_nh4no3,
+                                                     kp_nh4no3_aq)
+
+    ad = make_aero_data()
+    gd = make_gas_data_cbmz()
+
+    def equil(temp_k, rh, leg, hours=6):
+        E = 16
+        vol = np.zeros((ad.n_spec, E), np.float32)
+        vol[ad.spec_by_name("SO4")] = 4e-21      # neutral (NH4)2SO4 seed
+        vol[ad.spec_by_name("NH4")] = 3e-21
+        vol[ad.spec_by_name("NO3")] = 2e-21
+        st = fill_fresh(ad, 32, jnp.asarray(vol),
+                        jnp.full((E,), 1e8 / E, jnp.float32),
+                        jnp.zeros((E,), jnp.int32),
+                        jnp.zeros((E,), jnp.int32))
+        st = dataclasses.replace(st,
+                                 hyst_leg=jnp.full_like(st.hyst_leg, leg))
+        gas = np.zeros(gd.n_spec, np.float32)
+        gas[gd.spec_by_name("NH3")] = 20.0
+        gas[gd.spec_by_name("HNO3")] = 20.0
+        g = jnp.asarray(gas)
+        env = EnvState(temp=jnp.float32(temp_k), pressure=jnp.float32(1e5),
+                       rel_humid=jnp.float32(rh), height=jnp.float32(100.0),
+                       cell_volume=jnp.float32(1.0), ustar=jnp.float32(0.3),
+                       elapsed_time=jnp.float32(0.0))
+        step = jax.jit(lambda s, gg: astem_inorganic(s, gg, gd, ad, env,
+                                                     300.0, n_sub=4))
+        for _ in range(int(hours * 12)):
+            st, g = step(st, g)
+        return (float(g[gd.spec_by_name("NH3")])
+                * float(g[gd.spec_by_name("HNO3")]))
+
+    # measured 2026-08: ratios 1.05, 1.05, 1.06, 0.87 (Kelvin factor +
+    # finite relaxation); 25% bands give ~2x headroom
+    for temp_k, rh, leg in ((298.0, 0.70, 1), (298.0, 0.40, 0),
+                            (298.0, 0.90, 1), (283.0, 0.70, 1)):
+        prod = equil(temp_k, rh, leg)
+        target = (float(kp_nh4no3_aq(temp_k, rh)) if leg == 1
+                  else float(kp_nh4no3(temp_k)))
+        assert 0.75 * target < prod < 1.25 * target, (
+            f"T={temp_k} RH={rh} leg={leg}: product {prod:.2f} vs "
+            f"Kp {target:.2f}")
+
+    # the aqueous branch orders correctly around the solid one: metastable
+    # (below DRH) ABOVE solid Kp, near-saturation far below
+    kp_s = float(kp_nh4no3(298.0))
+    assert float(kp_nh4no3_aq(298.0, 0.40)) > kp_s
+    assert float(kp_nh4no3_aq(298.0, 0.95)) < 0.2 * kp_s

@@ -111,6 +111,7 @@ def test_noah_phase_lag_vs_slab():
     assert abs(hn["tsk"][day2].max() - tsk_s[day2].max()) > 0.2
 
 
+@pytest.mark.slow
 def test_noah_moisture_stress_reduces_evaporation():
     """Dry soil shuts down both direct evaporation (beta) and transpiration
     (Jarvis moisture stress)."""

@@ -89,6 +89,7 @@ def test_brownian_kernel_magnitude_and_symmetry():
 
 # ------------------------------------------------------------- kappa-Koehler
 
+@pytest.mark.slow
 def test_crit_supersat_against_analytic_limit():
     A = float(ENV.kelvin_A)
     for kappa in (0.3, 0.65, 1.1):
@@ -301,6 +302,7 @@ def test_bin_average_comp_internal_mixing():
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v0), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_process_advanced_optical_counterfactual():
     """Advanced diagnostics: positive scattering/absorption; the
     internally-mixed counterfactual differs from the external mixture

@@ -94,6 +94,7 @@ def test_thin_conserves_expected_number():
     assert 90 < n_after < 166
 
 
+@pytest.mark.slow
 def test_split_largest_doubles_exactly():
     st = zero_state(AD, capacity=64, cell_shape=())
     dist = _mode()

@@ -128,6 +128,7 @@ def test_per_particle_coag_removal_records(tmp_path):
             np.asarray(f.variables["aero_removed_removed_id"][:]), rid[sel])
 
 
+@pytest.mark.slow
 def test_record_aero_info_through_coupled_step():
     """cfg.partmc.record_aero_info surfaces the per-particle records via
     coupled_step(diag_out=True) on chem steps."""

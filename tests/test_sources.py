@@ -70,6 +70,7 @@ def test_add_particles_sets_components():
     np.testing.assert_allclose(vbs[2], 2 * 5e3 * 3e-20, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_source_attribution_survives_coagulation():
     """After forced coagulation events, per-source attributed volume is
     conserved and merged particles carry BOTH parent sources in their

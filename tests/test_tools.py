@@ -31,6 +31,7 @@ def _per_level_dist(nz, M=2):
         w_class=jnp.zeros(M, jnp.int32))
 
 
+@pytest.mark.slow
 def test_ics_roundtrip_and_sampling(tmp_path):
     cfg = uniform_test_config().replace(
         domain=DomainConfig(nx=6, ny=5, nz=4))

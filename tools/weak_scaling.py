@@ -26,7 +26,44 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def measure(n_dev, block_ny, block_nx, nz, n_part, cap, steps, chem=False):
+_SHAPE_RE = None
+
+
+def _hlo_collective_bytes(hlo_text):
+    """Per-step ICI traffic from the lowered HLO: sum the output-shape bytes
+    of every collective-permute / all-reduce / all-gather / reduce-scatter
+    instruction inside the step (each fires once per executed step; the
+    while-loop body appears once in the HLO text)."""
+    import re
+
+    dt_size = {"f32": 4, "bf16": 2, "s32": 4, "u32": 4, "f16": 2, "pred": 1,
+               "s8": 1, "u8": 1, "f64": 8, "s64": 8}
+    out = {"collective-permute": 0, "all-reduce": 0, "all-gather": 0,
+           "reduce-scatter": 0}
+    n_ops = {k: 0 for k in out}
+    pat = re.compile(
+        r"=\s*(?:\()?\s*([a-z0-9]+)\[([0-9,]*)\][^=]*?"
+        r"(collective-permute|all-reduce|all-gather|reduce-scatter)"
+        r"(?:-start|-done)?\(")
+    for m in pat.finditer(hlo_text):
+        dt, dims, op = m.group(1), m.group(2), m.group(3)
+        if dt not in dt_size:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        out[op] += n * dt_size[dt]
+        n_ops[op] += 1
+    # -start/-done pairs double-count; halve permute if starts present
+    if "collective-permute-start" in hlo_text:
+        out["collective-permute"] //= 2
+        n_ops["collective-permute"] //= 2
+    return out, n_ops
+
+
+def measure(n_dev, block_ny, block_nx, nz, n_part, cap, steps, chem=False,
+            hlo_bytes=False):
     import dataclasses
 
     import jax
@@ -64,16 +101,29 @@ def measure(n_dev, block_ny, block_nx, nz, n_part, cap, steps, chem=False):
         return out
 
     f = jax.jit(run)
-    out = jax.block_until_ready(f(cs))          # compile
+    row = {"n_dev": n_dev, "mesh": [py, px], "domain": [nz, ny, nx]}
+    if hlo_bytes:
+        # the scan body is printed once in the HLO and executes once per
+        # step, so instruction-shape sums ARE per-step byte counts
+        hlo = f.lower(cs).compile().as_text()
+        per_step, n_ops = _hlo_collective_bytes(hlo)
+        row["ici_bytes_per_step"] = per_step
+        row["ici_ops_in_step"] = n_ops
+    out = jax.block_until_ready(f(cs))          # compile (cached if lowered)
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
         out = jax.block_until_ready(f(cs))
         best = min(best, time.perf_counter() - t0)
     cells = nz * ny * nx
-    return {"n_dev": n_dev, "mesh": [py, px], "domain": [nz, ny, nx],
-            "steps_per_s": steps / best,
-            "cell_steps_per_s": cells * steps / best}
+    row["steps_per_s"] = steps / best
+    row["cell_steps_per_s"] = cells * steps / best
+    return row
+
+
+ICI_LINK_BW = 45e9   # [B/s] one v5e ICI link direction (conservative; the
+                     # 2-D torus gives each chip 4 links, and the transport
+                     # edge exchange uses one link pair per mesh axis)
 
 
 def main():
@@ -89,6 +139,15 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the virtual CPU mesh (the container's TPU "
                          "plugin registers itself before env vars apply)")
+    ap.add_argument("--hlo-bytes", action="store_true",
+                    help="parse per-step ICI byte counts from the lowered "
+                         "HLO at each mesh size")
+    ap.add_argument("--tpu-step-s", type=float, default=0.0,
+                    help="measured single-chip TPU step time for this local "
+                         "block [s]; enables the predicted-efficiency model")
+    ap.add_argument("--out", default="",
+                    help="write the artifact JSON here (e.g. "
+                         "WEAKSCALING_r05.json)")
     args = ap.parse_args()
 
     import jax
@@ -108,14 +167,43 @@ def main():
             print(f"skip n={n} (only {avail} devices)")
             continue
         r = measure(n, args.block_ny, args.block_nx, args.nz, args.n_part,
-                    args.cap, args.steps, chem=args.chem)
+                    args.cap, args.steps, chem=args.chem,
+                    hlo_bytes=args.hlo_bytes)
         rows.append(r)
         base = rows[0]["cell_steps_per_s"] / rows[0]["n_dev"]
-        r["efficiency"] = r["cell_steps_per_s"] / (r["n_dev"] * base)
+        r["efficiency_measured"] = r["cell_steps_per_s"] / (r["n_dev"] * base)
+        if args.tpu_step_s and "ici_bytes_per_step" in r:
+            # predicted TPU efficiency by byte math: per-device edge traffic
+            # over one ICI link pair added to the fixed per-device compute
+            b = sum(r["ici_bytes_per_step"].values())
+            t_ici = b / ICI_LINK_BW
+            r["ici_total_bytes_per_step"] = b
+            r["t_ici_predicted_s"] = t_ici
+            r["efficiency_predicted_tpu"] = (
+                args.tpu_step_s / (args.tpu_step_s + t_ici))
         print(f"N={r['n_dev']:3d}  mesh {r['mesh'][0]}x{r['mesh'][1]}  "
               f"domain {r['domain']}  {r['cell_steps_per_s']:12.1f} "
-              f"cell-steps/s  eff={r['efficiency']:.3f}", flush=True)
-    print(json.dumps({"weak_scaling": rows}))
+              f"cell-steps/s  eff={r['efficiency_measured']:.3f}"
+              + (f"  pred(TPU)={r.get('efficiency_predicted_tpu', 0):.3f}"
+                 if args.tpu_step_s else ""), flush=True)
+    result = {
+        "weak_scaling": rows,
+        "method": {
+            "measured": "per-step wall time on the visible devices; on the "
+                        "virtual CPU mesh all N devices share 2 host cores, "
+                        "so measured efficiency reflects core contention, "
+                        "NOT ICI — the predicted column is the hardware "
+                        "claim",
+            "predicted": f"eff = t_step / (t_step + ici_bytes/"
+                         f"{ICI_LINK_BW / 1e9:.0f}GBps) with ici bytes "
+                         "summed from the lowered HLO's collective ops "
+                         "(per-shard shapes, once per scan-body step)",
+            "tpu_step_s": args.tpu_step_s},
+    }
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(result, fh, indent=1)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -110,6 +110,28 @@ def kp_nh4cl(temp):
     return 4.6e33 * jnp.exp(-21725.0 / temp)
 
 
+def kp_nh4no3_aq(temp, aw):
+    """Activity-corrected AQUEOUS NH4NO3 dissociation product [ppb^2]
+    (Mozurkewich 1993; Seinfeld & Pandis eq. 10.98-10.100):
+
+        Kp_aq = (P1 - P2 (1-aw) + P3 (1-aw)^2) (1-aw)^1.75 Kp_solid
+
+    with water activity aw = RH at equilibrium.  This carries the mean
+    activity-coefficient dependence of the NH4+/NO3-/H2O system: below the
+    DRH the metastable solution product EXCEEDS the solid Kp (why the solid
+    is stable there); toward saturation it falls well below (dissolution
+    favored).  Used for particles on the deliquesced hysteresis leg; the
+    effloresced leg keeps the solid-phase :func:`kp_nh4no3`.  Closes the
+    r4 factor-3 MESA-lite gap for the dominant NH4/NO3/SO4/H2O system."""
+    aw = jnp.clip(jnp.asarray(aw), 0.10, 0.98)
+    lnT = jnp.log(temp)
+    p1 = jnp.exp(-135.94 + 8763.0 / temp + 19.12 * lnT)
+    p2 = jnp.exp(-122.65 + 9969.0 / temp + 16.22 * lnT)
+    p3 = jnp.exp(-182.61 + 13875.0 / temp + 24.46 * lnT)
+    x = 1.0 - aw
+    return (p1 - p2 * x + p3 * x * x) * x ** 1.75 * kp_nh4no3(temp)
+
+
 def astem_inorganic(aero: AeroState, gas_ppb, gas_data: GasData,
                     ad: AeroData, env: EnvState, dt, n_sub: int = 4,
                     tau_evap: float = 300.0):
@@ -208,8 +230,14 @@ def astem_inorganic(aero: AeroState, gas_ppb, gas_data: GasData,
         cl = mol_of("Cl")
         vol_anions = no3 + cl
         release_tot = jnp.minimum(jnp.maximum(acid_excess, 0.0), vol_anions)
+        # NH4NO3 equilibrium per particle: aqueous (activity-corrected,
+        # Mozurkewich 1993) on the deliquesced hysteresis leg, solid-phase
+        # Kp on the effloresced leg
+        rh_p = jnp.asarray(env.rel_humid)[..., None]
+        kp_no3 = jnp.where(aero.hyst_leg == 1,
+                           kp_nh4no3_aq(temp, rh_p), kp_nh4no3(temp))
         for g_name, a_name, diff, kp, rel in (
-                ("HNO3", "NO3", 1.2e-5, kp_nh4no3(temp),
+                ("HNO3", "NO3", 1.2e-5, kp_no3,
                  release_tot * no3 / jnp.maximum(vol_anions, 1e-30)),
                 ("HCl", "Cl", 1.5e-5, kp_nh4cl(temp),
                  release_tot * cl / jnp.maximum(vol_anions, 1e-30))):

@@ -131,11 +131,20 @@ def grell_step(state: DycoreState, grid: Grid, dt):
     deep = ((a_wf > A_MIN) & ((z_top - z0[None]) > MIN_DEPTH_G)
             & ((z_lfc - z0[None]) < 2000.0))
 
-    # 4. unit-subsidence tendencies (per unit base mass flux, M_b = 1)
+    # 4. unit-subsidence tendencies (per unit base mass flux, M_b = 1).
+    # The net updraft mass flux detrains over the upper cloud (the G3/AS
+    # detrainment layer): eta_sub ramps to zero across the top 40% of the
+    # cloud depth, so compensating-subsidence warming peaks in the mid-to-
+    # upper troposphere instead of at cloud top (r5: the quantified-bounds
+    # test caught monotone warming to the model top without this)
+    depth = jnp.maximum(z_top[:, None] - z0[None, None], 1.0)
+    z_frac = (z[None] - z0[None, None]) / depth               # [n_m,nz,ny,nx]
+    taper = jnp.clip((1.0 - z_frac) / 0.4, 0.0, 1.0)
+    eta_sub = eta * taper
     dtdz = jnp.gradient(temp, axis=0) / jnp.maximum(dz, 1.0)
     dqdz = jnp.gradient(qv, axis=0) / jnp.maximum(dz, 1.0)
-    dT_unit = eta / rho[None] * (dtdz[None] + c.GRAV / c.CP)   # [K/s per M]
-    dq_unit = eta / rho[None] * dqdz[None]
+    dT_unit = eta_sub / rho[None] * (dtdz[None] + c.GRAV / c.CP)  # [K/s per M]
+    dq_unit = eta_sub / rho[None] * dqdz[None]
     dT_unit = jnp.where(in_cloud, dT_unit, 0.0)
     dq_unit = jnp.where(in_cloud, dq_unit, 0.0)
     # closure: dA/dM from the warming's effect on the buoyancy integral
@@ -153,12 +162,14 @@ def grell_step(state: DycoreState, grid: Grid, dt):
     # dries where q decreases with height)
     dT = m_b[:, None] * dT_unit
     dq = m_b[:, None] * dq_unit
-    # cloud-top detrainment: saturated updraft air moistens the top layer
-    top_lay = in_cloud & ~jnp.concatenate(
-        [in_cloud[:, 1:], jnp.zeros_like(in_cloud[:, :1])], axis=1)
-    det_q = jnp.where(top_lay, m_b[:, None] * eta
-                      * jnp.maximum(qs[None] - qv[None], 0.0)
-                      / dm[None], 0.0)
+    # detrainment-layer moistening: the updraft's saturated air deposits
+    # where the net flux decreases (d eta_sub/dz < 0 across the upper
+    # cloud), replacing the single-top-layer dump
+    eta_above = jnp.concatenate(
+        [eta_sub[:, 1:], jnp.zeros_like(eta_sub[:, :1])], axis=1)
+    det_w = jnp.where(in_cloud, jnp.maximum(eta_sub - eta_above, 0.0), 0.0)
+    det_q = (m_b[:, None] * det_w
+             * jnp.maximum(qs[None] - qv[None], 0.0) / dm[None])
     dq = dq + det_q
     # precipitation production [kg m-2 s-1] per member
     rain_prod = m_b * jnp.sum(eta * cond, axis=1)
