@@ -21,7 +21,7 @@ import numpy as np
 
 
 def build_cares_shape(nx, ny, nz, n_part=100, cap=128, dt=30.0,
-                      chem_on=True, n_class_sources=6):
+                      chem_on=True, n_class_sources=6, mesh=None):
     """Returns (step_fn(state) -> state, initial CoupledState, cfg, grid).
 
     The step closes over a steady wrfbdy built from the initial state (the
@@ -117,6 +117,6 @@ def build_cares_shape(nx, ny, nz, n_part=100, cap=128, dt=30.0,
 
     def step_fn(state):
         return coupled_step(state, grid, cfg, ad, gd, scn, exch, key,
-                            bdy=bdy)
+                            bdy=bdy, mesh=mesh)
 
     return step_fn, cs, cfg, grid

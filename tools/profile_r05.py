@@ -272,20 +272,21 @@ def profile_chem(res):
 
     # the chem-dt coupled step itself: run 30 steps from a fresh state so
     # exactly one chem macro-step fires, then subtract 29 off-chem steps
-    import dataclasses as dc
     step30 = lambda c: jax.lax.scan(
         lambda s, _: (step_fn(s), None), c, None, length=30)[0]
-    t30, _ = chain_time(step30, cs if False else out, n=2, donate=True)
-    t_chem_step = 30.0 * t30 - 29.0 * t_step
+    # chain_time returns the time of ONE call = one 30-step scan; exactly
+    # one of those 30 steps runs the chem macro-branch
+    t30, _ = chain_time(step30, out, n=2, donate=True)
+    t_chem_step = t30 - 29.0 * t_step
     cells = nx * ny * nz
     res["summary_chem"].update({
         "chem_macro_step_s": round(t_chem_step, 4),
-        "chem_on_cell_steps_per_s_amortized": round(cells / t30, 1),
+        "chem_on_cell_steps_per_s_amortized": round(cells * 30.0 / t30, 1),
         "gas_frac_of_chem_macro_step": round(t_gas / t_chem_step, 3),
         "astem_frac": round(t_astem / t_chem_step, 3),
         "soa_frac": round(t_soa / t_chem_step, 3),
         "water_frac": round(t_wat / t_chem_step, 3),
-        "note": "chem_macro_step_s = 30*t(30 steps) - 29*t(off-chem step): "
+        "note": "chem_macro_step_s = t(30-step scan) - 29*t(off-chem step): "
                 "the marginal cost of the 1-in-30 chem-dt step; section "
                 "fractions are of that marginal cost and sum to <= 1"})
 
@@ -312,6 +313,14 @@ def main():
         profile_chem(res)
     out_path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "PROFILE_r05.json")
+    if which != "all" and os.path.exists(out_path):
+        with open(out_path) as fh:              # partial rerun: merge
+            prev = json.load(fh)
+        prev["sections"].update(res["sections"])
+        for k, v in res.items():
+            if k != "sections":
+                prev[k] = v
+        res = prev
     with open(out_path, "w") as fh:
         json.dump(res, fh, indent=1)
     print(json.dumps(res, indent=1))

@@ -283,6 +283,57 @@ def surface_deposition(aero: AeroState, env: EnvState, aero_data: AeroData,
         vol=jnp.where(keep[..., None, :], aero.vol, 0.0))
 
 
+def _cell_local_sharded(mesh, fn, sharded, repl):
+    """Run a cell-local particle op under ``shard_map`` over the 2-D
+    ('y','x') mesh.  Cell-local ops (coagulation, chemistry, rebalance,
+    deposition) flatten (nz, ny, nx) into one batch axis for the MXU place
+    engine; plain GSPMD cannot propagate the 2-D sharding through that
+    reshape and lowers it to a whole-population all-gather EVERY step
+    (measured 0.5-3.2 GB/step at N=2..8, ``WEAKSCALING_r05.json``).
+    shard_map keeps the flatten shard-local — the analogue of the
+    reference's per-patch particle loops.
+
+    ``sharded``: tuple of cell-field pytrees (leaves laid out
+    [nz, ny, nx, ...], [ny, nx] or scalar); ``repl``: tuple of replicated
+    pytrees (registries, scenario tables, grid, scalars, PRNG keys — keys
+    are folded with the shard index so shards decorrelate).  ``fn`` is
+    called as ``fn(*sharded, *repl)``."""
+    if mesh is None:
+        return fn(*sharded, *repl)
+    from jax.sharding import PartitionSpec as PS
+
+    def spec_of(a):
+        nd = len(getattr(a, "shape", ()))
+        if nd <= 1:
+            return PS()
+        if nd == 2:
+            return PS("y", "x")
+        return PS(None, "y", "x", *([None] * (nd - 3)))
+
+    def is_key(a):
+        try:
+            return jnp.issubdtype(a.dtype, jax.dtypes.prng_key)
+        except Exception:
+            return False
+
+    n_sh = len(sharded)
+
+    def local(*args):
+        sh, rp = args[:n_sh], args[n_sh:]
+        iy = lax.axis_index("y")
+        ix = lax.axis_index("x")
+        rp = jax.tree.map(lambda a: jax.random.fold_in(
+            jax.random.fold_in(a, iy), ix) if is_key(a) else a, rp)
+        return fn(*sh, *rp)
+
+    in_specs = (tuple(jax.tree.map(spec_of, s) for s in sharded)
+                + tuple(jax.tree.map(lambda a: PS(), r) for r in repl))
+    out_specs = jax.tree.map(spec_of, jax.eval_shape(fn, *sharded, *repl))
+    return jax.shard_map(local, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)(
+        *sharded, *repl)
+
+
 def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
                  aero_data: AeroData, gas_data: GasData, scn: Scenario,
                  exch_h, base_seed_key, mesh=None, bdy=None,
@@ -416,9 +467,12 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
 
         def micro(args):
             a, g = args
-            return microphysics_step(a, g, env, aero_data, gas_data, scn,
-                                     cfg, grid, dyn2, t,
-                                     keys[rng.STREAM_COAG])
+            fn = lambda a_, g_, env_, ad_, gd_, scn_, grid_, t_, k_: \
+                microphysics_step(a_, g_, env_, ad_, gd_, scn_, cfg, grid_,
+                                  None, t_, k_)
+            return _cell_local_sharded(
+                mesh, fn, (a, g, env),
+                (aero_data, gas_data, scn, grid, t, keys[rng.STREAM_COAG]))
 
         no_events = {}
         if pc.record_aero_info and pc.do_coagulation:
@@ -531,15 +585,20 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
         gas = apply_gas_open_bc(gas, dyn2, scn, grid, cfg)
     if pc.do_deposition:
         _a0 = aero
-        aero = surface_deposition(aero, env, aero_data, grid, cfg,
-                                  keys[rng.STREAM_DEPOSITION],
-                                  rmol=sfc_rmol,
-                                  dz1=(dz3[0] if dz3 is not None else None))
+        dep_fn = lambda a_, env_, rmol_, dz1_, ad_, grid_, k_: \
+            surface_deposition(a_, env_, ad_, grid_, cfg, k_, rmol=rmol_,
+                               dz1=dz1_)
+        aero = _cell_local_sharded(
+            mesh, dep_fn,
+            (aero, env, sfc_rmol, dz3[0] if dz3 is not None else None),
+            (aero_data, grid, keys[rng.STREAM_DEPOSITION]))
         record("deposition", _a0, aero)
 
     _a0 = aero
-    aero = rebalance(aero, keys[rng.STREAM_REBALANCE], pc.num_particles,
-                     pc.allow_halving, pc.allow_doubling)
+    reb_fn = lambda a_, k_: rebalance(a_, k_, pc.num_particles,
+                                      pc.allow_halving, pc.allow_doubling)
+    aero = _cell_local_sharded(mesh, reb_fn, (aero,),
+                               (keys[rng.STREAM_REBALANCE],))
     record("halving", _a0, aero)
 
     out = CoupledState(dyn=dyn2, aero=aero, gas=gas, step=cs.step + 1,
