@@ -307,7 +307,8 @@ def main():
         # HBM, not the compiler.  The full CARES 170x160x65 (1.77M cells)
         # is a multi-chip problem by design (the reference runs it on
         # hundreds of MPI ranks); see dryrun_multichip + WEAKSCALING.
-        for (cnx, cny, cnz) in ((64, 64, 28), (56, 56, 24), (48, 48, 20)):
+        for (cnx, cny, cnz) in ((72, 72, 24), (64, 64, 28), (56, 56, 24),
+                                (48, 48, 20)):
             rcs = _spawn("cares", ["--nx", str(cnx), "--ny", str(cny),
                                    "--nz", str(cnz), "--steps", "5",
                                    "--n_part", "100", "--cap", "128"],
