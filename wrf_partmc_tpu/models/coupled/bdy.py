@@ -109,12 +109,32 @@ def _interp_slabs(bdy: BdyData, name: str, t):
 
 def _target_field(field, edges, width: int):
     """Paint the four (time-interpolated) edge slabs onto a copy of the
-    field; corners take the later (y) paint — weights there are identical."""
-    tgt = field
-    tgt = tgt.at[..., :, :width].set(edges["xs"])
-    tgt = tgt.at[..., :, -width:].set(edges["xe"])
-    tgt = tgt.at[..., :width, :].set(edges["ys"])
-    tgt = tgt.at[..., -width:, :].set(edges["ye"])
+    field; corners take the later (y) paint — weights there are identical.
+
+    Realized as pad + iota-mask blends rather than ``.at[slice].set``:
+    edge-strip dynamic-update-slices on ('y','x')-sharded fields made GSPMD
+    all-gather the whole variable (a 17.7 MB/step gather of the chem array
+    at the CARES shape, MULTICHIP_r05); pads and elementwise selects
+    partition cleanly."""
+    ny, nx = field.shape[-2], field.shape[-1]
+    ii = jnp.arange(nx)
+    jj = jnp.arange(ny)[:, None]
+    nd = field.ndim
+
+    def padx(sl, left):
+        w = [(0, 0)] * (nd - 1) + [(nx - width, 0) if left
+                                   else (0, nx - width)]
+        return jnp.pad(sl, w)
+
+    def pady(sl, low):
+        w = [(0, 0)] * (nd - 2) + [(ny - width, 0) if low
+                                   else (0, ny - width), (0, 0)]
+        return jnp.pad(sl, w)
+
+    tgt = jnp.where(ii < width, padx(edges["xs"], False), field)
+    tgt = jnp.where(ii >= nx - width, padx(edges["xe"], True), tgt)
+    tgt = jnp.where(jj < width, pady(edges["ys"], False), tgt)
+    tgt = jnp.where(jj >= ny - width, pady(edges["ye"], True), tgt)
     return tgt
 
 
