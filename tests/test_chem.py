@@ -82,3 +82,50 @@ def test_nh3_neutralization_caps_at_2_to_1():
     assert mol_so4 > 0 and mol_nh4 > 0
     np.testing.assert_allclose(mol_nh4 / mol_so4, 2.0, rtol=0.05)
     assert float(gas2[GD.spec_by_name("NH3")]) < 100.0
+
+
+def test_aerosol_photolysis_attenuation():
+    """Aerosol-photochemistry feedback (the TUV-aerosol coupling of the
+    reference's MOSAIC photolysis): an absorbing aerosol column attenuates
+    the actinic flux below it, slowing NO2 photolysis and O3 production;
+    a conservative forward-scattering aerosol barely does."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wrf_partmc_tpu.models.coupled.driver import _cbmz_mechanism
+    from wrf_partmc_tpu.models.partmc.cbmz import cbmz_step
+    from wrf_partmc_tpu.models.physics.radiation import (
+        photolysis_aerosol_factor)
+
+    nz, ny, nx = 6, 2, 2
+    shp = (4, nz, ny, nx)
+    tau_abs = jnp.zeros(shp).at[:, 3:].set(0.5)   # aerosol layer aloft
+    f_abs = photolysis_aerosol_factor(tau_abs, jnp.full(shp, 0.6),
+                                      jnp.full(shp, 0.6), 0.8)
+    f_scat = photolysis_aerosol_factor(tau_abs, jnp.full(shp, 0.99),
+                                       jnp.full(shp, 0.8), 0.8)
+    f_clear = photolysis_aerosol_factor(jnp.zeros(shp), jnp.full(shp, 0.9),
+                                        jnp.full(shp, 0.6), 0.8)
+    # clear -> 1 everywhere; absorbing attenuates BELOW the layer;
+    # conservative scattering attenuates much less
+    assert np.allclose(np.asarray(f_clear), 1.0)
+    assert float(f_abs[0, 0, 0]) < 0.6           # below the layer
+    assert float(f_abs[-1, 0, 0]) > 0.8          # top barely touched
+    assert float(f_scat[0, 0, 0]) > float(f_abs[0, 0, 0]) + 0.2
+
+    # chemistry responds: attenuated J slows O3 photochemical production
+    mech = _cbmz_mechanism()
+    idx = {n: i for i, n in enumerate(mech.names)}
+    g0 = np.zeros(mech.n_spec, np.float32)
+    for n, v in (("NO2", 20.0), ("NO", 5.0), ("O3", 40.0), ("CO", 200.0),
+                 ("HCHO", 5.0), ("PAR", 50.0), ("CH4", 1800.0)):
+        g0[idx[n]] = v
+    g = jnp.asarray(g0)
+    for _ in range(12):
+        g_full = cbmz_step(mech, g, 298.0, 1.0e5, 0.5, 0.8, 300.0)
+        g_att = cbmz_step(mech, g, 298.0, 1.0e5, 0.5, 0.8, 300.0,
+                          j_scale=jnp.float32(0.3))
+        g = g_full
+    o3_full = float(g_full[idx["O3"]])
+    o3_att = float(g_att[idx["O3"]])
+    assert o3_att < o3_full, (o3_att, o3_full)

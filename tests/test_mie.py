@@ -113,10 +113,16 @@ def test_per_particle_optics_shapes():
     W, P = len(WAVELENGTHS), st.capacity
     assert c_sca.shape == (W, P) and c_abs.shape == (W, P) and g.shape == (W, P)
     assert np.all(np.asarray(c_sca) >= 0.0) and np.all(np.asarray(c_abs) >= 0.0)
-    bo = bulk_optical_props(st, ad, jnp.ones((1,)), 1.0)
+    # bulk aggregation consistency on the SAME backend (bulk defaults to
+    # the fitted surrogate for the every-step radiation path, r5)
+    bo = bulk_optical_props(st, ad, jnp.ones((1,)), 1.0, method="mie")
     b_ext = np.sum(np.asarray(c_sca + c_abs) * np.asarray(st.num), axis=-1)
     np.testing.assert_allclose(np.asarray(bo.tauaer).reshape(W, -1)[:, 0],
                                b_ext, rtol=1e-4)
+    # and the default fitted backend agrees in bulk to a few percent
+    bo_f = bulk_optical_props(st, ad, jnp.ones((1,)), 1.0)
+    np.testing.assert_allclose(np.asarray(bo_f.tauaer), np.asarray(bo.tauaer),
+                               rtol=0.08)
 
 
 def test_particle_netcdf_optics_schema(tmp_path):
@@ -155,3 +161,44 @@ def test_particle_netcdf_optics_schema(tmp_path):
     assert xs.shape == (4, *cshape, 8)
     assert np.all(xs[..., :4] > 0.0)
     f.close()
+
+
+def test_fit_lookup_matches_table_in_bulk():
+    """The gather-free fitted surrogate (mie.fit_lookup) vs the exact
+    trilinear table, per particle and in the bulk sums the radiation
+    coupling consumes.  Bands: per-particle log-efficiency rms <= ~0.05 dec
+    in the relevant regime; BULK tau / w0 / g of a realistic polydisperse
+    population within a few percent (per-particle fit noise averages
+    down)."""
+    import numpy as np
+
+    from wrf_partmc_tpu.models.partmc.mie import (fit_lookup, make_mie_table,
+                                                  table_lookup)
+
+    rng = np.random.default_rng(7)
+    N = 4000
+    x = 10.0 ** rng.uniform(-1.5, 1.8, N)            # 60 nm - 20 um at 550 nm
+    n = rng.uniform(1.33, 1.82, N)
+    k = 10.0 ** rng.uniform(-4.0, -0.2, N)
+    table = make_mie_table()
+    qe_t, qs_t, g_t = (np.asarray(v) for v in
+                       table_lookup(table, jnp.asarray(x), jnp.asarray(n),
+                                    jnp.asarray(k)))
+    qe_f, qs_f, g_f = (np.asarray(v) for v in
+                       fit_lookup(jnp.asarray(x), jnp.asarray(n),
+                                  jnp.asarray(k)))
+    dlog = np.log10(np.maximum(qe_f, 1e-12)) - np.log10(
+        np.maximum(qe_t, 1e-12))
+    assert np.sqrt((dlog ** 2).mean()) < 0.06, dlog.std()
+    assert np.abs(g_f - g_t).mean() < 0.04
+
+    # bulk sums over a lognormal-weighted population (what tauaer sees)
+    w = np.exp(-0.5 * ((np.log(x) - np.log(3.0)) / 0.8) ** 2)
+    area = x * x                                      # proportional weights
+    for ft, tt, name, tol in (
+            (qe_f, qe_t, "ext", 0.05),
+            (qs_f, qs_t, "sca", 0.05),
+            ((qe_f - qs_f), (qe_t - qs_t), "abs", 0.12)):
+        bf = float((ft * area * w).sum())
+        bt = float((tt * area * w).sum())
+        assert abs(bf - bt) / bt < tol, (name, bf, bt)

@@ -66,7 +66,11 @@ def build_cares_shape(nx, ny, nz, n_part=100, cap=128, dt=30.0,
                             n_emit_slots=4, partmc_chem_dt=300.0,
                             do_coagulation=True, do_emission=True,
                             do_deposition=True, do_mosaic=chem_on,
-                            do_transport=True, do_condensation=chem_on),
+                            do_transport=True, do_condensation=chem_on,
+                            # aerosol-radiation (tauaer/waer/gaer direct
+                            # effect) + aerosol-photolysis (TUV-role
+                            # actinic attenuation) feedbacks on
+                            do_optical=chem_on),
         n_moist=10, n_moist_mass=6,
         n_chem_gas=77 if chem_on else 32,
     )

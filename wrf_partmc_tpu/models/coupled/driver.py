@@ -195,7 +195,7 @@ def emission_step(aero: AeroState, gas, env: EnvState, aero_data: AeroData,
 def microphysics_step(aero: AeroState, gas, env: EnvState, aero_data: AeroData,
                       gas_data: GasData, scn: Scenario, cfg: Config,
                       grid: Grid, dyn: DycoreState, t,
-                      key):
+                      key, j_scale=None):
     """partmc_timestep chem-macro-step work (``wrf_pmc_driver.F90:169-254``):
     nucleation (optional), coagulation, gas/aerosol chemistry, water uptake.
     Scenario emissions run per-dt in :func:`emission_step`, not here.
@@ -239,7 +239,7 @@ def microphysics_step(aero: AeroState, gas, env: EnvState, aero_data: AeroData,
             aero, gas = mosaic_timestep(
                 _cbmz_mechanism(), aero, gas, gas_data, aero_data, env,
                 dt_chem, cosz, n_sub_gas=pc.n_sub_gas,
-                n_sub_astem=pc.n_sub_astem)
+                n_sub_astem=pc.n_sub_astem, j_scale=j_scale)
     if pc.do_condensation:
         if pc.condense_mode == "dynamic":
             from ..partmc.condense import condense_dynamic
@@ -459,19 +459,41 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
         record("dilution", _a0, aero)
     else:
         gas = update_gas_state(scn, gas, t, dt)
+    # aerosol optics: consumed by the radiation direct effect AND (when
+    # chemistry is on) by the photolysis actinic-flux attenuation — the
+    # aerosol-photochemistry feedback the reference gets through TUV
+    optics = None
+    if pc.do_optical and cfg.dynamics.ra_physics in (1, 4):
+        from ..partmc.optics import bulk_optical_props
+
+        optics = bulk_optical_props(aero, aero_data, grid.dz,
+                                    env.cell_volume)
+
     coag_events = {}
     if (pc.do_coagulation or pc.do_condensation
             or pc.do_nucleation or pc.do_mosaic):
         do_chem = (cs.step % m_chem) == 0
         zero3 = jnp.zeros(env.temp.shape, jnp.float32)
 
+        j_scale = None
+        if optics is not None and pc.do_mosaic:
+            from ..partmc.cbmz import cos_zenith as _cosz
+            from ..physics.radiation import photolysis_aerosol_factor
+
+            dom = cfg.domain
+            utc = dom.gmt * 3600.0 + t
+            cz_now = _cosz(dom.lat0, dom.lon0,
+                           dom.julian_day + utc // 86400.0, utc % 86400.0)
+            j_scale = photolysis_aerosol_factor(
+                optics.tauaer, optics.waer, optics.gaer, cz_now)
+
         def micro(args):
             a, g = args
-            fn = lambda a_, g_, env_, ad_, gd_, scn_, grid_, t_, k_: \
+            fn = lambda a_, g_, env_, js_, ad_, gd_, scn_, grid_, t_, k_: \
                 microphysics_step(a_, g_, env_, ad_, gd_, scn_, cfg, grid_,
-                                  None, t_, k_)
+                                  None, t_, k_, j_scale=js_)
             return _cell_local_sharded(
-                mesh, fn, (a, g, env),
+                mesh, fn, (a, g, env, j_scale),
                 (aero_data, gas_data, scn, grid, t, keys[rng.STREAM_COAG]))
 
         no_events = {}
@@ -515,12 +537,9 @@ def coupled_step(cs: CoupledState, grid: Grid, cfg: Config,
                           dom.julian_day + utc // 86400.0, utc % 86400.0)
         rho_b, _, _ = base_profiles(grid)
         rho3 = jnp.broadcast_to(rho_b.reshape(-1, 1, 1), env.temp.shape)
-        optics = None
-        if pc.do_optical:
-            from ..partmc.optics import bulk_optical_props
-
-            optics = bulk_optical_props(aero, aero_data, grid.dz,
-                                        env.cell_volume)
+        # optics computed once above (pre-chemistry state — the same
+        # population the reference's do_optical pass sees at this step's
+        # mosaic call, wrf_pmc_driver.F90:232-245)
         hr, _rad_diag = radiation_driver(
             temperature(dyn2, grid), dyn2.moist[0], rho3, grid.dz, cosz,
             t_sfc=(cs.land.tsk if cs.land is not None else None),

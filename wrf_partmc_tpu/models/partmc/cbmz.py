@@ -172,9 +172,17 @@ _J_PARAMS = {
 }
 
 
-def photolysis_rates(cosz):
-    """J-values [1/s] for every photolysis channel from cos(solar zenith)."""
+def photolysis_rates(cosz, j_scale=None):
+    """J-values [1/s] for every photolysis channel from cos(solar zenith).
+
+    ``j_scale``: optional per-cell actinic-flux factor (aerosol/cloud
+    attenuation of the photolysis field, e.g.
+    ``physics.radiation.photolysis_aerosol_factor`` — the TUV aerosol
+    coupling of the reference's MOSAIC photolysis)."""
     mu = jnp.maximum(jnp.asarray(cosz), 0.0)
+    if j_scale is not None:
+        return {name: a * mu ** b * j_scale
+                for name, (a, b) in _J_PARAMS.items()}
     return {name: a * mu ** b for name, (a, b) in _J_PARAMS.items()}
 
 
@@ -451,9 +459,12 @@ def build_mechanism(gas_names=None) -> Mechanism:
 # ---------------------------------------------------------------------------
 # Batched ROS2 solver (all cells advance in lockstep; dense MXU Jacobian)
 # ---------------------------------------------------------------------------
-def rate_coefficients(mech: Mechanism, temp, pressure, rh, cosz):
+def rate_coefficients(mech: Mechanism, temp, pressure, rh, cosz,
+                      j_scale=None):
     """Per-cell rate coefficients in ppb-space: k2nd * M * 1e-9 for
-    two-reactant rows, k as-is for first-order rows.  Returns [..., R]."""
+    two-reactant rows, k as-is for first-order rows.  Returns [..., R].
+    ``j_scale``: per-cell actinic-flux factor applied to every photolysis
+    channel (see :func:`photolysis_rates`)."""
     T = jnp.asarray(temp, jnp.float32)
     p = jnp.asarray(pressure, jnp.float32)
     M = p / (c.BOLTZMANN * T) * 1e-6          # molec/cm3
@@ -468,7 +479,7 @@ def rate_coefficients(mech: Mechanism, temp, pressure, rh, cosz):
     # paths stayed correct (found via urban-plume trajectory validation:
     # daytime O3 collapsed under jit only)
     T, M, H2O = jax.lax.optimization_barrier((T, M, H2O))
-    J = photolysis_rates(cosz)
+    J = photolysis_rates(cosz, j_scale)
     ks = [fn(T, M, H2O, J) for fn in mech.rate_fns]
     k = jnp.stack([jnp.broadcast_to(ki, T.shape) for ki in ks], axis=-1)
     conv = jnp.where(mech.has2, M[..., None] * 1e-9, 1.0)
@@ -600,7 +611,7 @@ def ros2_substep_w(mech: Mechanism, conc, k_ppb, h, a_inv):
 
 def cbmz_step(mech: Mechanism, gas_ppb, temp, pressure, rh, cosz, dt,
               n_sub: int = 6, w_method: bool = True,
-              cell_block: int = 8192):
+              cell_block: int = 8192, j_scale=None):
     """Advance the gas mechanism by dt over every cell.
 
     gas_ppb: [..., S] (S = mech.n_spec); temp/pressure/rh/cosz: [...] or
@@ -633,8 +644,8 @@ def cbmz_step(mech: Mechanism, gas_ppb, temp, pressure, rh, cosz, dt,
         N *= s
 
     def solve_block(args):
-        conc0, Tb, Pb, RHb, MUb = args
-        k_ppb = rate_coefficients(mech, Tb, Pb, RHb, MUb)
+        conc0, Tb, Pb, RHb, MUb, JSb = args
+        k_ppb = rate_coefficients(mech, Tb, Pb, RHb, MUb, j_scale=JSb)
         if w_method:
             J = jacobian(mech, conc0, k_ppb)
             A = jnp.eye(S, dtype=conc0.dtype) - _ROS_GAMMA * h * J
@@ -646,7 +657,10 @@ def cbmz_step(mech: Mechanism, gas_ppb, temp, pressure, rh, cosz, dt,
         return jax.lax.fori_loop(0, n_sub, body, conc0)
 
     conc0 = gas_ppb.astype(jnp.float32).reshape(N, S)
-    flat = (conc0, T.reshape(N), P.reshape(N), RH.reshape(N), MU.reshape(N))
+    JS = jnp.broadcast_to(jnp.asarray(
+        1.0 if j_scale is None else j_scale, jnp.float32), cell)
+    flat = (conc0, T.reshape(N), P.reshape(N), RH.reshape(N), MU.reshape(N),
+            JS.reshape(N))
     if N <= cell_block:
         return solve_block(flat).reshape(*cell, S)
     nb = -(-N // cell_block)

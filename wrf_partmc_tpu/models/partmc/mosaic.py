@@ -344,15 +344,18 @@ def soa_partition(aero: AeroState, gas_ppb, gas_data: GasData, ad: AeroData,
 def mosaic_timestep(mech: Mechanism, aero: AeroState, gas_ppb,
                     gas_data: GasData, ad: AeroData, env: EnvState,
                     dt, cosz, do_gas: bool = True,
-                    n_sub_gas: int = 6, n_sub_astem: int = 4):
+                    n_sub_gas: int = 6, n_sub_astem: int = 4,
+                    j_scale=None):
     """Full MOSAIC-equivalent chemistry macro-step (coupling surface of the
     reference's ``mosaic_timestep``): CBM-Z gas photochemistry, then ASTEM
     inorganic transfer, then SOA partitioning.  Water equilibrium and optics
-    are composed by the caller (driver), as in the reference."""
+    are composed by the caller (driver), as in the reference.  ``j_scale``:
+    per-cell aerosol attenuation of the actinic flux (the TUV aerosol
+    coupling, ``physics.radiation.photolysis_aerosol_factor``)."""
     gas = gas_ppb.astype(jnp.float32)
     if do_gas:
         gas = cbmz_step(mech, gas, env.temp, env.pressure, env.rel_humid,
-                        cosz, dt, n_sub=n_sub_gas)
+                        cosz, dt, n_sub=n_sub_gas, j_scale=j_scale)
     aero, gas = astem_inorganic(aero, gas, gas_data, ad, env, dt,
                                 n_sub=n_sub_astem)
     aero, gas = soa_partition(aero, gas, gas_data, ad, env, dt)

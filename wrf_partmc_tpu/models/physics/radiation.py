@@ -352,6 +352,24 @@ def shortwave_kdist(qv, rho, dz, cosz, albedo, tauaer=None, waer=None,
     return heat_rate, sfc * (1.0 - alb)
 
 
+def photolysis_aerosol_factor(tauaer, waer, gaer, cosz):
+    """Per-level actinic-flux scaling J_eff / J_clear from the aerosol
+    column above — the role TUV's aerosol profile plays for the reference's
+    photolysis (MOSAIC couples CBM-Z J values through TUV; WRF-Chem's phot
+    options apply the same aerosol scaling).  Uses the UV-most SW band's
+    (tau, w0, g) with a delta-scaled effective attenuation: forward-
+    scattered light stays in the actinic field, so
+    tau_eff = tau (1 - w0 (1+g)/2); absorbing aerosol (low w0) suppresses
+    photolysis strongly, conservative forward-scattering barely.
+
+    tauaer/waer/gaer: [n_band, nz, ny, nx]; returns [nz, ny, nx] in (0, 1].
+    """
+    mu = jnp.maximum(jnp.asarray(cosz), 1e-3)
+    tau_eff = tauaer[0] * (1.0 - waer[0] * 0.5 * (1.0 + gaer[0]))
+    above = (jnp.cumsum(tau_eff[::-1], axis=0)[::-1] - 0.5 * tau_eff)
+    return jnp.exp(-jnp.maximum(above, 0.0) / mu)
+
+
 def radiation_driver(temp, qv, rho, dz, cosz, albedo=0.2, t_sfc=None,
                      optics=None, lw_scheme: str = "gray",
                      sw_scheme: str = "dudhia"):
