@@ -202,3 +202,37 @@ def test_fit_lookup_matches_table_in_bulk():
         bf = float((ft * area * w).sum())
         bt = float((tt * area * w).sum())
         assert abs(bf - bt) / bt < tol, (name, bf, bt)
+
+
+def test_maxwell_garnett_bc_inclusion_option():
+    """The Maxwell-Garnett BC-inclusion mixing (MOSAIC shell-core stand-in,
+    wrf_pmc_driver.F90:1205): for a BC-containing particle the effective k
+    sits between the host's and volume mixing's (volume mixing is known to
+    overestimate BC absorption); BC-free particles are unchanged."""
+    import dataclasses
+
+    from wrf_partmc_tpu.models.partmc.optics import particle_refractive_index
+
+    ad, st = _population(0.1)
+    i_bc = ad.spec_by_name("BC")
+    # give half the particles a 20% BC volume fraction
+    vtot = np.asarray(st.vol).sum(-2)
+    vol = np.array(st.vol)                       # writable copy
+    vol[..., i_bc, ::2] = 0.25 * vtot[::2]
+    st2 = dataclasses.replace(st, vol=jnp.asarray(vol))
+
+    n_v, k_v = particle_refractive_index(st2, ad)
+    n_mg, k_mg = particle_refractive_index(st2, ad, maxwell_garnett=True)
+    k_v, k_mg = np.asarray(k_v), np.asarray(k_mg)
+    alive = np.asarray(st2.num) > 0
+    bc_rows = alive & (vol[..., i_bc, :] > 0)
+    assert bc_rows.any()
+    # MG absorbs less than volume mixing but more than the BC-free host
+    assert (k_mg[bc_rows] < k_v[bc_rows] + 1e-6).all()
+    assert (k_mg[bc_rows] > 0.01).all()
+    # BC-free particles identical under both rules
+    free = alive & ~bc_rows
+    if free.any():
+        np.testing.assert_allclose(k_mg[free], k_v[free], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(n_mg)[free],
+                                   np.asarray(n_v)[free], rtol=1e-5)

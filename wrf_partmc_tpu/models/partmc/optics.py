@@ -5,17 +5,24 @@ Mie optics per particle (``mosaic_aero_optical_single_wavelength``,
 ``wrf_pmc_driver.F90:1205``) aggregated into the bulk ``tauaer/gaer/waer``
 fields fed to RRTMG (``compute_bulk_optical_props`` ``:2025-2097``).
 
-Two per-particle efficiency backends:
+Three per-particle efficiency backends:
 
-* ``method="mie"`` (default): exact Mie efficiencies from the precomputed
+* ``method="mie"``: exact Mie efficiencies from the precomputed
   (size parameter x, n, k) lookup table in :mod:`.mie`, trilinearly
   interpolated on device — the fidelity of the reference's per-particle
   MOSAIC Mie (``mosaic_aero_optical_single_wavelength``,
-  ``wrf_pmc_driver.F90:1205``) at table-gather cost.  The asymmetry
-  parameter g comes from the same table (round 1 parameterized it).
+  ``wrf_pmc_driver.F90:1205``) at table-gather cost; default for
+  diagnostics and the particle-restart schema.
+* ``method="mie_fit"``: the gather-free Chebyshev x poly(n, k) surrogate
+  of the same table (``mie.fit_lookup``, 5-7% per-particle rms) — default
+  for the every-step bulk radiation/photolysis coupling, where the exact
+  table's corner gathers cost ~11 s/step at the CARES shape.
 * ``method="adt"``: the round-1 anomalous diffraction theory closure
   (van de Hulst 1957) — kept as the cheap fallback and for the documented
   Mie-vs-ADT delta test (``tests/test_radiation.py``).
+
+BC mixing: volume rule by default; ``maxwell_garnett=True`` treats BC as
+inclusions in the volume-mixed host (the MOSAIC shell-core stand-in).
 
 Species refractive indices at 550 nm from the OPAC database (Hess et al.
 1998) by species class.
@@ -58,15 +65,42 @@ def species_refractive_index(aero_data: AeroData):
     return jnp.asarray(n), jnp.asarray(k)
 
 
-def particle_refractive_index(state: AeroState, aero_data: AeroData):
-    """Volume-mixing-rule (n, k) per particle [..., P]."""
+def particle_refractive_index(state: AeroState, aero_data: AeroData,
+                              maxwell_garnett: bool = False):
+    """(n, k) per particle [..., P].
+
+    Default: volume mixing rule over all species.  ``maxwell_garnett``:
+    treat BC as spherical inclusions in the volume-mixed non-BC host
+    (Maxwell-Garnett effective medium) — the standard stand-in for
+    MOSAIC's shell-core BC optics (``wrf_pmc_driver.F90:1205``); volume
+    mixing mildly overestimates BC absorption relative to it."""
     n_s, k_s = species_refractive_index(aero_data)
     vtot = particle_volume(state.vol)
     safe = jnp.maximum(vtot, 1e-30)          # f32-safe; 1e-300 underflows
-    n = jnp.einsum("...sp,s->...p", state.vol, n_s) / safe
-    k = jnp.einsum("...sp,s->...p", state.vol, k_s) / safe
-    # dead/empty slots: a neutral non-absorbing index instead of 0/0
     empty = vtot <= 0.0
+    if not maxwell_garnett:
+        n = jnp.einsum("...sp,s->...p", state.vol, n_s) / safe
+        k = jnp.einsum("...sp,s->...p", state.vol, k_s) / safe
+        return jnp.where(empty, 1.45, n), jnp.where(empty, 0.0, k)
+
+    i_bc = aero_data.spec_by_name("BC")
+    v_bc = state.vol[..., i_bc, :]
+    f = jnp.clip(v_bc / safe, 0.0, 0.999)
+    host_v = jnp.maximum(vtot - v_bc, 1e-30)
+    n_h = (jnp.einsum("...sp,s->...p", state.vol, n_s)
+           - v_bc * n_s[i_bc]) / host_v
+    k_h = (jnp.einsum("...sp,s->...p", state.vol, k_s)
+           - v_bc * k_s[i_bc]) / host_v
+    m_h = (n_h + 1j * k_h).astype(jnp.complex64)
+    m_i = jnp.complex64(complex(float(n_s[i_bc]), float(k_s[i_bc])))
+    eps_m = m_h * m_h
+    eps_i = m_i * m_i
+    num = eps_i + 2.0 * eps_m + 2.0 * f * (eps_i - eps_m)
+    den = eps_i + 2.0 * eps_m - f * (eps_i - eps_m)
+    m_eff = jnp.sqrt(eps_m * num / den)
+    # principal branch with positive imaginary part (passive medium)
+    n = jnp.abs(jnp.real(m_eff))
+    k = jnp.abs(jnp.imag(m_eff))
     return jnp.where(empty, 1.45, n), jnp.where(empty, 0.0, k)
 
 
@@ -124,7 +158,7 @@ def particle_efficiencies(diam, n, k, wavelength, method="mie",
 
 def per_particle_optics(state: AeroState, aero_data: AeroData,
                         wavelengths=WAVELENGTHS, method="mie",
-                        mie_table=None):
+                        mie_table=None, maxwell_garnett: bool = False):
     """Per-particle scattering/absorption cross-sections [m2] + asymmetry
     per band: ([W, ..., P] c_sca, c_abs, g) — the aero_particle optics state
     the reference stores and restarts (``wrf_pmc_init.F90:1111-1272``:
@@ -134,7 +168,8 @@ def per_particle_optics(state: AeroState, aero_data: AeroData,
     output/restart schema (``utils/io.py::write_particle_netcdf``) records
     it while the transported payload does not."""
     diam = jnp.maximum(state.wet_diameter(), 1e-9)
-    n, k = particle_refractive_index(state, aero_data)
+    n, k = particle_refractive_index(state, aero_data,
+                                     maxwell_garnett=maxwell_garnett)
     area = (jnp.pi / 4.0) * diam * diam
     c_sca, c_abs, gs = [], [], []
     for wl in wavelengths:
@@ -148,7 +183,8 @@ def per_particle_optics(state: AeroState, aero_data: AeroData,
 
 def bulk_optical_props(state: AeroState, aero_data: AeroData, dz,
                        cell_volume, wavelengths=WAVELENGTHS,
-                       method="mie_fit", mie_table=None) -> BulkOptics:
+                       method="mie_fit", mie_table=None,
+                       maxwell_garnett: bool = False) -> BulkOptics:
     """Aggregate per-particle cross-sections to layer tauaer/waer/gaer
     (compute_bulk_optical_props equivalent).  dz: [nz] layer depths.
 
@@ -160,7 +196,8 @@ def bulk_optical_props(state: AeroState, aero_data: AeroData, dz,
     Diagnostics and the restart schema keep the exact table
     (``per_particle_optics`` default method="mie")."""
     c_sca, c_abs, g_i = per_particle_optics(state, aero_data, wavelengths,
-                                            method, mie_table)
+                                            method, mie_table,
+                                            maxwell_garnett=maxwell_garnett)
     V = jnp.asarray(cell_volume)
     live_num = jnp.where(state.alive, state.num, 0.0)
     b_sca = jnp.sum(c_sca * live_num, axis=-1) / V          # [W, nz, ny, nx]
