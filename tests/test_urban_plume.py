@@ -21,8 +21,8 @@ against the published PartMC-MOSAIC results:
 
 Tolerance bands are deliberately generous — digitized by eye from the
 published figures, then widened to cover scheme-level differences (this
-framework's CBM-Z uses a cos^b clear-sky photolysis parameterization, not
-TUV; MESA-lite carries no activity coefficients) and Monte-Carlo noise at
+framework's CBM-Z uses a cos^b clear-sky photolysis parameterization with
+aerosol actinic attenuation, not full TUV) and Monte-Carlo noise at
 ~1000 computational particles.  Each band states its published anchor.
 
 This test is also the regression guard for the r5 jit-correctness bug it
@@ -66,11 +66,14 @@ def test_urban_plume_24h_trajectories():
     hours = []
     traj = {k: [] for k in ("O3", "NO", "HNO3", "NH3", "N2O5", "chi",
                             "N_tot", "no3_ug", "pm25_ug")}
+    dists = {}
 
     def observe(t, a, g, env):
         if int(round(t)) % 3600 != 0:
             return
         d = proc(a, env)
+        if int(round(t / 3600.0)) in (6, 24):
+            dists[int(round(t / 3600.0))] = np.asarray(d.num_dist[0, 0, 0])
         gi = lambda n: float(g[0, 0, 0, gd.spec_by_name(n)])
         hours.append(t / 3600.0)
         traj["O3"].append(gi("O3"))
@@ -122,6 +125,29 @@ def test_urban_plume_24h_trajectories():
     # ug/m3 episodes) — require at least transient NO3 aerosol
     assert T["no3_ug"].max() > 0.3, f"no particulate NO3 ({T['no3_ug'].max()})"
     assert T["pm25_ug"].min() > 1.0          # population never vanishes
+
+    # --- number size distribution at t = 0 / 6 / 24 h -------------------
+    # (Riemer 2009 Figs. 4-5): the initial remote-continental dist is
+    # bimodal (~20 nm + ~116 nm); fresh 50-90 nm combustion modes elevate
+    # the ultrafine range during the emission period; by hour 24 the
+    # ultrafine number has decayed (coag + dilution, emissions off) while
+    # the accumulation mode persists
+    d0 = np.asarray(proc(aero, make_env_state(benv, 0.0)
+                         ).num_dist[0, 0, 0])
+    centers = np.asarray(bg.centers)
+    uf = (centers > 2e-8) & (centers < 1e-7)        # ultrafine/Aitken
+    acc = (centers > 1e-7) & (centers < 5e-7)       # accumulation
+    assert d0[uf].max() > 0 and d0[acc].max() > 0   # initial bimodality
+    i0 = int(np.argmax(d0))
+    assert 8e-9 < centers[i0] < 8e-8                # dominant Aitken peak
+    assert 6 in dists and 24 in dists
+    # emission period boosts ultrafine number over the aged end state
+    # (measured ratio ~1.4: overnight coag/dilution decay, floored by the
+    # continuous remote-continental background in-mixing)
+    assert dists[6][uf].sum() > 1.2 * dists[24][uf].sum(), (
+        dists[6][uf].sum(), dists[24][uf].sum())
+    # the accumulation mode survives aging (within a broad factor band)
+    assert dists[24][acc].sum() > 0.1 * dists[6][acc].sum()
 
     # --- mixing state (Riemer & West 2013 Fig. 10) ----------------------
     # fresh externally-mixed BC/OC pulls chi down from ~1; aging partially
