@@ -99,3 +99,28 @@ def test_cares_restart_roundtrip_reproduces_direct_run(tmp_path):
                                rtol=1e-5)
     np.testing.assert_allclose(np.asarray(resumed.land.tsk),
                                np.asarray(direct.land.tsk), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_cares_open_boundary_stability_long_run():
+    """Regression (r5): without MU/PH boundary forcing, mass reflected at
+    the open lateral boundaries e-folded every ~2 steps and the CARES
+    configuration went NaN by step 16 — the 5-step smoke runs never saw it.
+    With the full wrfbdy variable set (U/V/T/MU/PH/QVAPOR/chem, the
+    reference's share/wrf_bdyin.F contract) the run must stay finite with
+    bounded surface-pressure perturbation over 40 steps."""
+    from cares_shape import build_cares_shape
+
+    step_fn, cs, cfg, grid = build_cares_shape(14, 12, 10, n_part=10,
+                                               cap=24, dt=30.0,
+                                               chem_on=False)
+    step = jax.jit(step_fn, donate_argnums=0)
+    out = cs
+    for _ in range(40):
+        out = step(out)
+    out = jax.block_until_ready(out)
+    assert bool(jnp.isfinite(out.dyn.theta_p).all())
+    assert bool(jnp.isfinite(out.dyn.w).all())
+    mu = np.asarray(out.dyn.mu)
+    assert np.abs(mu).max() < 3000.0, np.abs(mu).max()   # < 30 hPa
+    assert float(out.aero.total_num().sum()) > 0.0

@@ -59,6 +59,15 @@ def slabs_from_state(dyn: DycoreState, width: int, chem: bool = True):
 
     out = {"u": four(dyn.u), "v": four(dyn.v), "theta_p": four(dyn.theta_p),
            "moist": four(dyn.moist)}
+    # the reference's wrfbdy also forces MU and PH (U_B/V_B/T_B/MU_B/PH_B/
+    # QVAPOR_B, share/wrf_bdyin.F): without a mass-field boundary target,
+    # gravity/acoustic energy reflects at the open boundary and the mu
+    # field grows without bound (observed e-folding ~2 steps at the CARES
+    # shape before this was added)
+    if dyn.mu is not None:
+        out["mu"] = four(dyn.mu)
+    if dyn.ph is not None:
+        out["ph"] = four(dyn.ph)
     if chem and dyn.chem is not None:
         out["chem"] = four(dyn.chem)
     return out
@@ -153,6 +162,10 @@ def apply_specified_relax(dyn: DycoreState, bdy: BdyData, t, grid: Grid,
     upd = {"u": blend(dyn.u, "u"), "v": blend(dyn.v, "v"),
            "theta_p": blend(dyn.theta_p, "theta_p"),
            "moist": blend(dyn.moist, "moist")}
+    if "mu" in bdy.slabs and dyn.mu is not None:
+        upd["mu"] = blend(dyn.mu, "mu")
+    if "ph" in bdy.slabs and dyn.ph is not None:
+        upd["ph"] = blend(dyn.ph, "ph")
     if "chem" in bdy.slabs and dyn.chem is not None:
         upd["chem"] = blend(dyn.chem, "chem")
     return dataclasses.replace(dyn, **upd)
