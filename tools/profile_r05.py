@@ -272,21 +272,36 @@ def profile_chem(res):
 
     # the chem-dt coupled step itself: run 30 steps from a fresh state so
     # exactly one chem macro-step fires, then subtract 29 off-chem steps
-    step30 = lambda c: jax.lax.scan(
-        lambda s, _: (step_fn(s), None), c, None, length=30)[0]
-    # chain_time returns the time of ONE call = one 30-step scan; exactly
-    # one of those 30 steps runs the chem macro-branch
-    t30, _ = chain_time(step30, out, n=2, donate=True)
-    t_chem_step = t30 - 29.0 * t_step
+    # time INDIVIDUAL steps and split on the chem cadence — the earlier
+    # scan-minus-off-steps subtraction put all of t(30-step scan)'s ~10%
+    # run-to-run jitter into a 7%-of-total difference
+    f1 = jax.jit(step_fn, donate_argnums=0)
+    st = jax.block_until_ready(f1(out))
+    k = int(st.step)
+    t_off_l, t_chem_l = [], []
+    for _ in range(65):
+        t0 = time.perf_counter()
+        st = jax.block_until_ready(f1(st))
+        (t_chem_l if k % 30 == 0 else t_off_l).append(
+            time.perf_counter() - t0)
+        k += 1
+    t_off_l.sort()
+    t_chem_l.sort()
+    t_off = t_off_l[len(t_off_l) // 2]
+    t_chem_total = t_chem_l[len(t_chem_l) // 2]
+    t_chem_step = max(t_chem_total - t_off, 1e-6)     # marginal chem cost
     cells = nx * ny * nz
+    t30 = 29.0 * t_off + t_chem_total
     res["summary_chem"].update({
-        "chem_macro_step_s": round(t_chem_step, 4),
+        "chem_step_total_s": round(t_chem_total, 4),
+        "chem_macro_marginal_s": round(t_chem_step, 4),
+        "off_chem_step_s": round(t_off, 4),
         "chem_on_cell_steps_per_s_amortized": round(cells * 30.0 / t30, 1),
         "gas_frac_of_chem_macro_step": round(t_gas / t_chem_step, 3),
         "astem_frac": round(t_astem / t_chem_step, 3),
         "soa_frac": round(t_soa / t_chem_step, 3),
         "water_frac": round(t_wat / t_chem_step, 3),
-        "note": "chem_macro_step_s = t(30-step scan) - 29*t(off-chem step): "
+        "note": "per-step medians of 65 individually timed steps, split on the 1-in-30 chem cadence; chem_macro_marginal_s = chem-step total - off-chem median; section fractions are of that marginal cost and sum to <= 1"
                 "the marginal cost of the 1-in-30 chem-dt step; section "
                 "fractions are of that marginal cost and sum to <= 1"})
 
